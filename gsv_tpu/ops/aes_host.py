@@ -1,0 +1,240 @@
+"""Host-side AES-128 and the reference's tweakable gate hash (oracle path).
+
+Reference parity: ``src/hashers/aes_ni.rs`` + ``src/hashers/mod.rs``:
+
+- Fixed static key ``[0x42; 16]`` (aes_ni.rs:169).
+- Gate hash: ``H(label, gate_id) = AES128_key(label_bytes ^ tweak)`` where
+  ``label_bytes`` is the label's big-endian 16-byte serialization
+  (``S::to_bytes``) and the XOR mask is folded into round key 0
+  (aes_ni.rs:139-160 — algebraically identical to XORing the plaintext).
+- Tweak (hashers/mod.rs:57-64, 90-96)::
+
+      t0 = gate_id ^ 0x1234_5678_9ABC_DEF0          (u64)
+      t1 = gate_id.wrapping_mul(0xDEAD_BEEF_CAFE_BABE)
+      mask = t0.to_le_bytes() || t1.to_le_bytes()   (16 bytes)
+
+- Accumulating ciphertext hash (``src/ciphertext_hasher.rs``):
+  ``h <- AES128_key(h ^ ct)`` over the ciphertext stream, initial ``h = 0``.
+
+The fast path uses the OpenSSL-backed ``cryptography`` package; a pure-Python
+AES (generated S-box, verified against the FIPS-197 KAT in tests) is kept as
+a dependency-free fallback and as the source of the round-key constants used
+by the bitsliced TPU kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MASK64 = 0xFFFFFFFFFFFFFFFF
+
+STATIC_KEY = bytes([0x42] * 16)
+TWEAK_XOR_CONST = 0x1234_5678_9ABC_DEF0
+TWEAK_MUL_CONST = 0xDEAD_BEEF_CAFE_BABE
+
+# ------------------------------------------------------------------
+# S-box construction (programmatic, no hardcoded table)
+# ------------------------------------------------------------------
+
+
+def _gf256_mul(a: int, b: int) -> int:
+    """GF(2^8) multiply mod the AES polynomial x^8+x^4+x^3+x+1 (0x11B)."""
+    r = 0
+    while b:
+        if b & 1:
+            r ^= a
+        a <<= 1
+        if a & 0x100:
+            a ^= 0x11B
+        b >>= 1
+    return r
+
+
+def _gf256_inv(a: int) -> int:
+    if a == 0:
+        return 0
+    # a^254 by square-and-multiply
+    r = 1
+    e = 254
+    base = a
+    while e:
+        if e & 1:
+            r = _gf256_mul(r, base)
+        base = _gf256_mul(base, base)
+        e >>= 1
+    return r
+
+
+def _build_sbox() -> tuple[np.ndarray, np.ndarray]:
+    sbox = np.zeros(256, dtype=np.uint8)
+    for x in range(256):
+        y = _gf256_inv(x)
+        # AES affine transform: b'_i = b_i ^ b_{i+4} ^ b_{i+5} ^ b_{i+6} ^ b_{i+7} ^ c_i
+        r = 0
+        for i in range(8):
+            bit = (
+                (y >> i)
+                ^ (y >> ((i + 4) % 8))
+                ^ (y >> ((i + 5) % 8))
+                ^ (y >> ((i + 6) % 8))
+                ^ (y >> ((i + 7) % 8))
+                ^ (0x63 >> i)
+            ) & 1
+            r |= bit << i
+        sbox[x] = r
+    inv = np.zeros(256, dtype=np.uint8)
+    inv[sbox] = np.arange(256, dtype=np.uint8)
+    return sbox, inv
+
+
+SBOX, INV_SBOX = _build_sbox()
+
+_RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
+
+
+def key_schedule(key: bytes) -> np.ndarray:
+    """AES-128 key expansion -> (11, 16) uint8 round keys."""
+    if len(key) != 16:
+        raise ValueError("AES-128 key must be 16 bytes")
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
+    for i in range(4, 44):
+        t = list(w[i - 1])
+        if i % 4 == 0:
+            t = t[1:] + t[:1]  # RotWord
+            t = [int(SBOX[b]) for b in t]  # SubWord
+            t[0] ^= _RCON[i // 4 - 1]
+        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+    rk = np.array(w, dtype=np.uint8).reshape(11, 16)
+    return rk
+
+
+ROUND_KEYS = key_schedule(STATIC_KEY)  # (11, 16) uint8 — the fixed-key schedule
+
+
+# ------------------------------------------------------------------
+# Block encryption (cryptography fast path + pure-Python fallback)
+# ------------------------------------------------------------------
+
+try:
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    def _make_ecb(key: bytes):
+        return Cipher(algorithms.AES(key), modes.ECB())
+
+    _HAVE_CRYPTOGRAPHY = True
+except Exception:  # pragma: no cover
+    _HAVE_CRYPTOGRAPHY = False
+
+
+def _aes_encrypt_python(rk: np.ndarray, block: bytes) -> bytes:
+    """Pure-Python AES-128 single-block encrypt (fallback / cross-check)."""
+    s = list(block)
+    s = [b ^ k for b, k in zip(s, rk[0])]
+    for rnd in range(1, 11):
+        s = [int(SBOX[b]) for b in s]
+        # ShiftRows over column-major state: byte index 4c + r, row r rotates left r
+        s = [s[(4 * ((i // 4) + (i % 4)) + (i % 4)) % 16] for i in range(16)]
+        if rnd < 10:
+            ns = []
+            for c in range(4):
+                col = s[4 * c : 4 * c + 4]
+                ns.extend(
+                    [
+                        _gf256_mul(col[0], 2) ^ _gf256_mul(col[1], 3) ^ col[2] ^ col[3],
+                        col[0] ^ _gf256_mul(col[1], 2) ^ _gf256_mul(col[2], 3) ^ col[3],
+                        col[0] ^ col[1] ^ _gf256_mul(col[2], 2) ^ _gf256_mul(col[3], 3),
+                        _gf256_mul(col[0], 3) ^ col[1] ^ col[2] ^ _gf256_mul(col[3], 2),
+                    ]
+                )
+            s = ns
+        s = [b ^ int(k) for b, k in zip(s, rk[rnd])]
+    return bytes(s)
+
+
+class Aes128:
+    """AES-128 ECB over raw 16-byte blocks."""
+
+    def __init__(self, key: bytes = STATIC_KEY):
+        self.key = key
+        self.round_keys = key_schedule(key)
+        self._cipher = _make_ecb(key) if _HAVE_CRYPTOGRAPHY else None
+
+    def encrypt_block(self, block: bytes) -> bytes:
+        return self.encrypt_blocks(block)
+
+    def encrypt_blocks(self, data: bytes) -> bytes:
+        """ECB-encrypt a multiple of 16 bytes."""
+        if len(data) % 16 != 0:
+            raise ValueError("data must be a multiple of 16 bytes")
+        if self._cipher is not None:
+            enc = self._cipher.encryptor()
+            return enc.update(data) + enc.finalize()
+        out = bytearray()
+        for i in range(0, len(data), 16):
+            out += _aes_encrypt_python(self.round_keys, data[i : i + 16])
+        return bytes(out)
+
+
+_STATIC_AES = Aes128(STATIC_KEY)
+
+
+# ------------------------------------------------------------------
+# Tweakable gate hash (reference: hashers/mod.rs)
+# ------------------------------------------------------------------
+
+
+def tweak_bytes(gate_id: int) -> bytes:
+    """16-byte XOR mask for a gate id (hashers/mod.rs:57-64, 90-96)."""
+    t0 = (gate_id ^ TWEAK_XOR_CONST) & MASK64
+    t1 = (gate_id * TWEAK_MUL_CONST) & MASK64
+    return t0.to_bytes(8, "little") + t1.to_bytes(8, "little")
+
+
+def aes_hash_with_gate(label: int, gate_id: int) -> int:
+    """``AesNiHasher::hash_with_gate`` for one label (host oracle)."""
+    from gsv_tpu.core.labels import s_from_bytes, s_to_bytes
+
+    blk = bytes(a ^ b for a, b in zip(s_to_bytes(label), tweak_bytes(gate_id)))
+    return s_from_bytes(_STATIC_AES.encrypt_block(blk))
+
+
+def aes_hash_with_gate2(label0: int, label1: int, gate_id: int) -> tuple[int, int]:
+    """Two-label variant (same tweak), matching ``HashWithGate<2>``."""
+    return aes_hash_with_gate(label0, gate_id), aes_hash_with_gate(label1, gate_id)
+
+
+def aes_hash_batch(labels_be_bytes: bytes, gate_ids: list[int]) -> bytes:
+    """Batch gate hash over concatenated 16-byte big-endian labels."""
+    n = len(labels_be_bytes) // 16
+    assert len(gate_ids) == n
+    buf = bytearray(labels_be_bytes)
+    for i, gid in enumerate(gate_ids):
+        tw = tweak_bytes(gid)
+        for j in range(16):
+            buf[16 * i + j] ^= tw[j]
+    return _STATIC_AES.encrypt_blocks(bytes(buf))
+
+
+class AesAccumulatingHash:
+    """Running ciphertext-stream hash: ``h <- AES(h ^ ct)``, h0 = 0.
+
+    Reference parity: ``src/ciphertext_hasher.rs:16-33``.  The 16-byte digest
+    commits to the full ordered ciphertext stream.
+    """
+
+    def __init__(self):
+        self._h = bytes(16)
+
+    def update(self, ct_bytes: bytes) -> None:
+        """Absorb one or more 16-byte ciphertexts (big-endian S serialization)."""
+        h = self._h
+        for i in range(0, len(ct_bytes), 16):
+            blk = bytes(a ^ b for a, b in zip(h, ct_bytes[i : i + 16]))
+            h = _STATIC_AES.encrypt_block(blk)
+        self._h = h
+
+    def finalize(self) -> bytes:
+        return self._h
+
+    def finalize_int(self) -> int:
+        return int.from_bytes(self._h, "big")
