@@ -1,0 +1,140 @@
+"""Ciphertext handlers (garbler side) and sources (evaluator side).
+
+Reference parity: ``CiphertextHandler`` impls in ``src/circuit/mod.rs:140-178``
+(AES accumulating hash / channel sender / no-op) and ``CiphertextSource`` in
+``src/circuit/ciphertext_source.rs`` (channel and 4MiB-buffered file of
+16-byte records).  Streams are ordered 16-byte ciphertexts; on disk they are
+stored in the label's big-endian serialization, interoperable record-for-
+record with the reference's ``gc_<i>.bin`` spool files.
+
+The runtime hands handlers whole per-step blocks of ciphertexts
+(``(ct, 4)`` uint32 device arrays, possibly with a leading batch axis)
+instead of one label at a time — the streaming unit on TPU is a wave, not a
+gate.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from gsv_tpu.core.labels import words_from_buffer, words_to_bytes
+from gsv_tpu.ops.aes_host import AesAccumulatingHash
+
+
+class CollectHandler:
+    """Accumulates the stream in memory as one (n, 4) uint32 array."""
+
+    def __init__(self):
+        self.blocks: list[np.ndarray] = []
+
+    def __call__(self, block) -> None:
+        self.blocks.append(np.asarray(block))
+
+    def stream(self) -> np.ndarray:
+        if not self.blocks:
+            return np.zeros((0, 4), dtype=np.uint32)
+        return np.concatenate(self.blocks, axis=-2)
+
+
+class HashHandler:
+    """Chains the reference's accumulating AES hash over the stream.
+
+    For batched streams pass ``batch`` to keep one chain per instance.
+    """
+
+    def __init__(self, batch: int | None = None):
+        self.batch = batch
+        if batch is None:
+            self._h = AesAccumulatingHash()
+        else:
+            self._hs = [AesAccumulatingHash() for _ in range(batch)]
+
+    def __call__(self, block) -> None:
+        block = np.asarray(block)
+        if self.batch is None:
+            self._h.update(words_to_bytes(block))
+        else:
+            for i in range(self.batch):
+                self._hs[i].update(words_to_bytes(block[i]))
+
+    def finalize(self):
+        if self.batch is None:
+            return self._h.finalize()
+        return [h.finalize() for h in self._hs]
+
+
+class TeeHandler:
+    """Forwards each block to several handlers (the reference's hash-verify
+    proxy thread, examples/groth16_garble.rs:208-220, as a composition)."""
+
+    def __init__(self, *handlers):
+        self.handlers = handlers
+
+    def __call__(self, block) -> None:
+        for h in self.handlers:
+            h(block)
+
+
+class FileHandler:
+    """Spools the stream to a file of 16-byte records, hashing while writing.
+
+    Reference parity: ``FileCiphertextHandler``
+    (cut_and_choose/ciphertext_repository.rs:52-160).
+    """
+
+    def __init__(self, path: str, buffer_bytes: int = 4 << 20):
+        self.path = path
+        self._f = open(path, "wb", buffering=buffer_bytes)
+        self._hash = AesAccumulatingHash()
+        self.count = 0
+
+    def __call__(self, block) -> None:
+        data = words_to_bytes(np.asarray(block))
+        self._f.write(data)
+        self._hash.update(data)
+        self.count += len(data) // 16
+
+    def finalize(self) -> bytes:
+        self._f.close()
+        return self._hash.finalize()
+
+
+class ArraySource:
+    """Serves ``(base, count)`` slices from an in-memory stream array."""
+
+    def __init__(self, stream: np.ndarray):
+        self.stream = np.asarray(stream)
+
+    def __call__(self, base: int, count: int) -> np.ndarray:
+        out = self.stream[..., base : base + count, :]
+        if out.shape[-2] != count:
+            raise ValueError("ciphertext stream exhausted")
+        return out
+
+
+class FileSource:
+    """Reads a spooled stream file; verifies the accumulated hash on demand.
+
+    Reference parity: ``FileSource`` (circuit/ciphertext_source.rs:36-107).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        size = os.path.getsize(path)
+        if size % 16 != 0:
+            raise ValueError(f"{path}: size {size} not a multiple of 16")
+        with open(path, "rb") as f:
+            self.stream = words_from_buffer(f.read())
+
+    def __call__(self, base: int, count: int) -> np.ndarray:
+        out = self.stream[base : base + count]
+        if len(out) != count:
+            raise ValueError("ciphertext stream exhausted")
+        return out
+
+    def accumulated_hash(self) -> bytes:
+        h = AesAccumulatingHash()
+        h.update(words_to_bytes(self.stream))
+        return h.finalize()

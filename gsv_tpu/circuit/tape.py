@@ -1,0 +1,585 @@
+"""Template compiler: flatten -> wave-schedule -> register-allocate.
+
+Converts traced ``Template``s (gsv_tpu.circuit.builder) into static executable
+artifacts:
+
+- ``CompiledTape`` — a template subtree flattened into parallel numpy gate
+  arrays, partitioned into **topological waves** (all gates in a wave are
+  independent and execute as one vectorized step), with template-local wires
+  mapped onto a minimal **slot frame** by linear-scan register allocation
+  (the static replacement for the reference's credit-based ``Storage``,
+  src/storage.rs — every wire's slot is freed at its statically-known last
+  read instead of at a runtime credit hitting zero).
+
+- ``SuperProgram`` — for subtrees larger than ``flatten_max`` gates: a
+  sequence of child invocations (tapes or nested supers) with slot-frame
+  bindings, so the 11B-gate Groth16 circuit is a shallow tree of reusable
+  compiled tapes rather than one impossible flat array.
+
+Specialization: artifacts are memoized per ``(template, live-output mask)``
+because dead-gate elision (and hence the ciphertext stream layout) depends on
+which outputs the caller reads — mirroring how the reference's metadata
+instance routes parent credits (component_meta.rs:177-219).
+
+Gate-id bookkeeping: every gate (including dead ones) advances the id
+counter, matching ``garble_mode.rs:192-197``; ids feed the AES tweaks so this
+is load-bearing for bit-exactness.  Ciphertext positions are ranks among
+*live non-free* gates in original program order.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass, field
+from typing import Union
+
+import numpy as np
+
+from gsv_tpu.core.gate_types import (
+    ALPHA_A,
+    ALPHA_B,
+    ALPHA_C,
+    GateType,
+    TRUTH_TABLE,
+    is_free,
+)
+from gsv_tpu.circuit.builder import FALSE_WIRE, TRUE_WIRE, Template
+from gsv_tpu.circuit.liveness import call_live_mask, wire_live
+
+# Operand encoding inside a tape: constants, inputs, then frame slots.
+OP_FALSE = 0
+OP_TRUE = 1
+N_SPECIAL = 2  # operands below this are constants
+
+
+@dataclass
+class Wave:
+    """One parallel step: independent free gates + independent AND-variants."""
+
+    # free gates: out_label = a ^ (b & b_mask) ^ (delta & delta_mask)
+    #             out_value = a ^ (b & b_mask) ^ flip
+    f_a: np.ndarray  # operand codes, int32
+    f_b: np.ndarray
+    f_c: np.ndarray  # frame slot
+    f_bmask: np.ndarray  # uint8 0/1 (0 for NOT)
+    f_flip: np.ndarray  # uint8 0/1 (1 for XNOR/NOT)
+    # non-free gates (half-gates)
+    n_a: np.ndarray
+    n_b: np.ndarray
+    n_c: np.ndarray
+    n_gid: np.ndarray  # uint32 local gate id
+    n_ct: np.ndarray  # int32 ciphertext stream position (tape-local)
+    n_aa: np.ndarray  # uint8 alpha_a
+    n_ab: np.ndarray
+    n_ac: np.ndarray
+    n_tt: np.ndarray  # uint8 truth table (execute/evaluate value path)
+
+
+@dataclass
+class CompiledTape:
+    name: str
+    n_inputs: int
+    frame_size: int
+    total_gates: int  # including dead; the gate-id span
+    ct_count: int  # live non-free gates = ciphertext count
+    waves: list[Wave]
+    # live internal outputs: operand codes to read, aligned with out_positions
+    out_ops: np.ndarray  # int32 operand codes
+    out_positions: np.ndarray  # int32 positions in template.outputs order
+    # operand code per template-output position (-2 = dead/unavailable);
+    # aliased const/input outputs resolve through this without a scatter
+    out_all_ops: np.ndarray = None
+    live_mask: tuple = ()
+
+    @property
+    def header_size(self) -> int:
+        return N_SPECIAL + self.n_inputs
+
+
+@dataclass
+class SuperStep:
+    child: Union["CompiledTape", "SuperProgram"]
+    input_ops: np.ndarray  # super-local operand codes per child input
+    # absolute parent-frame slots for the child's live internal outputs
+    out_slots: np.ndarray  # int32, -1 = discard
+    gid_offset: int
+    ct_offset: int
+
+
+@dataclass
+class SuperProgram:
+    name: str
+    n_inputs: int
+    frame_size: int
+    scratch_size: int  # max over steps of child's (frame + scratch)
+    total_gates: int
+    ct_count: int
+    steps: list[SuperStep]
+    out_ops: np.ndarray
+    out_positions: np.ndarray
+    out_all_ops: np.ndarray = None
+    live_mask: tuple = ()
+
+    @property
+    def header_size(self) -> int:
+        return N_SPECIAL + self.n_inputs
+
+    @property
+    def total_frame(self) -> int:
+        return self.frame_size + self.scratch_size
+
+
+def _tape_total_frame(c: Union[CompiledTape, SuperProgram]) -> int:
+    if isinstance(c, CompiledTape):
+        return c.frame_size
+    return c.total_frame
+
+
+# ----------------------------------------------------------------------
+# Flattening
+# ----------------------------------------------------------------------
+
+
+class _FlatBuilder:
+    """Accumulates the flattened live-gate list of a template subtree."""
+
+    __slots__ = ("gt", "a", "b", "c", "gid", "next_wire", "gid_counter")
+
+    def __init__(self, n_inputs: int):
+        self.gt: list[int] = []
+        self.a: list[int] = []
+        self.b: list[int] = []
+        self.c: list[int] = []
+        self.gid: list[int] = []
+        self.next_wire = N_SPECIAL + n_inputs
+        self.gid_counter = 0
+
+    def new_wire(self) -> int:
+        w = self.next_wire
+        self.next_wire += 1
+        return w
+
+
+def _flatten_into(
+    fb: _FlatBuilder,
+    template: Template,
+    live_out: tuple,
+    wire_map: dict[int, int],
+    live_cache: dict,
+):
+    """Inline ``template`` (with ``live_out`` mask); wire_map maps the
+    template's local ids (constants + inputs pre-seeded) to flat ids."""
+    ck = (id(template), live_out)
+    live = live_cache.get(ck)
+    if live is None:
+        live = wire_live(template, live_out)
+        live_cache[ck] = live
+
+    gt_arr = template.gate_type
+    a_arr, b_arr, c_arr = template.gate_a, template.gate_b, template.gate_c
+    for item in template.runs:
+        if item[0] == "g":
+            _, start, end = item
+            for i in range(start, end):
+                gid = fb.gid_counter
+                fb.gid_counter += 1
+                c = int(c_arr[i])
+                if not live[c]:
+                    continue
+                fc = wire_map.get(c)
+                if fc is None:
+                    fc = fb.new_wire()
+                    wire_map[c] = fc
+                fb.gt.append(int(gt_arr[i]))
+                fb.a.append(wire_map[int(a_arr[i])])
+                fb.b.append(wire_map[int(b_arr[i])])
+                fb.c.append(fc)
+                fb.gid.append(gid)
+        else:
+            call = template.calls[item[1]]
+            child_mask = call_live_mask(call, live)
+            child_map = {FALSE_WIRE: FALSE_WIRE, TRUE_WIRE: TRUE_WIRE}
+            for j, w in enumerate(call.inputs):
+                child_map[2 + j] = wire_map[w]
+            _flatten_into(fb, call.template, child_mask, child_map, live_cache)
+            for pos, parent_w in enumerate(call.outputs):
+                child_w = call.template.outputs[pos]
+                if parent_w < N_SPECIAL:
+                    continue
+                fw = child_map.get(child_w)
+                if fw is None:
+                    # child output wire was dead inside the child; the parent
+                    # wire is then dead too (no producer) — leave unmapped so
+                    # a read would fail loudly.
+                    continue
+                wire_map[parent_w] = fw
+
+
+def flatten_template(template: Template, live_out: tuple) -> _FlatBuilder:
+    fb = _FlatBuilder(template.n_inputs)
+    wire_map = {FALSE_WIRE: FALSE_WIRE, TRUE_WIRE: TRUE_WIRE}
+    for i in range(template.n_inputs):
+        wire_map[2 + i] = N_SPECIAL + i
+    _flatten_into(fb, template, live_out, wire_map, {})
+    assert fb.gid_counter == template.total_gates
+    # final map of template outputs -> flat wires (-1 = dead/unmapped)
+    out_flat = [wire_map.get(w, -1) for w in template.outputs]
+    return fb, out_flat
+
+
+# ----------------------------------------------------------------------
+# Wave scheduling + slot allocation
+# ----------------------------------------------------------------------
+
+
+def compile_tape(template: Template, live_out: tuple) -> CompiledTape:
+    fb, out_flat = flatten_template(template, live_out)
+    n = len(fb.gt)
+    n_in = template.n_inputs
+    header = N_SPECIAL + n_in
+
+    gt = np.asarray(fb.gt, dtype=np.uint8)
+    a = np.asarray(fb.a, dtype=np.int64)
+    b = np.asarray(fb.b, dtype=np.int64)
+    c = np.asarray(fb.c, dtype=np.int64)
+    gids = np.asarray(fb.gid, dtype=np.uint32)
+
+    # ciphertext positions: rank among live non-free gates in program order
+    free_flag = np.isin(gt, (GateType.XOR, GateType.XNOR, GateType.NOT))
+    ct_pos = np.where(~free_flag, np.cumsum(~free_flag) - 1, -1).astype(np.int64)
+    ct_count = int((~free_flag).sum())
+
+    # ASAP levels (wires indexed flat; header wires = level 0)
+    wire_level = np.zeros(fb.next_wire, dtype=np.int64)
+    gate_level = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        lv = wire_level[a[i]]
+        lb = wire_level[b[i]]
+        g = (lv if lv >= lb else lb) + 1
+        gate_level[i] = g
+        wire_level[c[i]] = g
+
+    # last read level per wire (live template outputs pinned to the end)
+    INF = np.iinfo(np.int64).max
+    last_read = np.full(fb.next_wire, -1, dtype=np.int64)
+    np.maximum.at(last_read, a, gate_level)
+    np.maximum.at(last_read, b, gate_level)
+    live_out_positions = [
+        pos
+        for pos, is_live in enumerate(live_out)
+        if is_live and out_flat[pos] >= header
+    ]
+    for pos in live_out_positions:
+        last_read[out_flat[pos]] = INF
+
+    # linear-scan slot allocation in wave order
+    order = np.argsort(gate_level, kind="stable")
+    slot_of = np.full(fb.next_wire, -1, dtype=np.int64)
+    free_slots: list[int] = []
+    frame_size = 0
+    # expiry[level] -> slots to free once execution reaches `level`
+    expiries: list[tuple[int, int]] = []  # heap of (level, slot)
+    prev_level = 0
+    for idx in order:
+        g = gate_level[idx]
+        if g != prev_level:
+            while expiries and expiries[0][0] <= g:
+                _, s = heapq.heappop(expiries)
+                heapq.heappush(free_slots, s)
+            prev_level = g
+        w = c[idx]
+        if free_slots:
+            s = heapq.heappop(free_slots)
+        else:
+            s = frame_size
+            frame_size += 1
+        slot_of[w] = s
+        lr = last_read[w]
+        if lr == -1:
+            lr = g  # write-only wire: reusable at the next level
+        if lr != INF:
+            heapq.heappush(expiries, (lr + 1, s))
+
+    # operand codes: header wires keep their index; internal wires -> header + slot
+    def opcode(w_arr):
+        w_arr = np.asarray(w_arr, dtype=np.int64)
+        internal = w_arr >= header
+        codes = np.where(internal, header + slot_of[np.clip(w_arr, 0, None)], w_arr)
+        return codes.astype(np.int32)
+
+    a_op = opcode(a)
+    b_op = opcode(b)
+    c_slot = slot_of[c].astype(np.int32)
+    assert (c_slot >= 0).all()
+
+    # build waves
+    waves: list[Wave] = []
+    if n:
+        max_level = int(gate_level.max())
+        # bucket gate indices by level, preserving program order
+        level_index: list[list[int]] = [[] for _ in range(max_level + 1)]
+        for i in range(n):
+            level_index[gate_level[i]].append(i)
+        for lv in range(1, max_level + 1):
+            idxs = np.asarray(level_index[lv], dtype=np.int64)
+            if idxs.size == 0:
+                continue
+            fmask = free_flag[idxs]
+            fi = idxs[fmask]
+            ni = idxs[~fmask]
+            waves.append(
+                Wave(
+                    f_a=a_op[fi],
+                    f_b=b_op[fi],
+                    f_c=c_slot[fi],
+                    f_bmask=(gt[fi] != GateType.NOT).astype(np.uint8),
+                    f_flip=np.isin(gt[fi], (GateType.XNOR, GateType.NOT)).astype(
+                        np.uint8
+                    ),
+                    n_a=a_op[ni],
+                    n_b=b_op[ni],
+                    n_c=c_slot[ni],
+                    n_gid=gids[ni],
+                    n_ct=ct_pos[ni].astype(np.int32),
+                    n_aa=ALPHA_A[gt[ni]],
+                    n_ab=ALPHA_B[gt[ni]],
+                    n_ac=ALPHA_C[gt[ni]],
+                    n_tt=TRUTH_TABLE[gt[ni]],
+                )
+            )
+
+    out_ops = opcode([out_flat[pos] for pos in live_out_positions])
+    out_all = np.full(len(template.outputs), -2, dtype=np.int32)
+    for pos, w in enumerate(out_flat):
+        if w >= 0:
+            out_all[pos] = opcode([w])[0]
+    return CompiledTape(
+        name=template.name,
+        n_inputs=n_in,
+        frame_size=int(frame_size),
+        total_gates=template.total_gates,
+        ct_count=ct_count,
+        waves=waves,
+        out_ops=out_ops,
+        out_positions=np.asarray(live_out_positions, dtype=np.int32),
+        out_all_ops=out_all,
+        live_mask=tuple(live_out),
+    )
+
+
+# ----------------------------------------------------------------------
+# Hierarchical compilation
+# ----------------------------------------------------------------------
+
+
+class Compiler:
+    """Compiles (template, live-mask) specs with memoization.
+
+    ``flatten_max``: subtrees with at most this many total gates become one
+    CompiledTape; larger ones become SuperPrograms over their children.
+    """
+
+    def __init__(self, flatten_max: int = 1 << 20):
+        self.flatten_max = flatten_max
+        self._cache: dict = {}
+
+    def compile(self, template: Template, live_out: tuple | None = None):
+        if live_out is None:
+            live_out = (True,) * len(template.outputs)
+        key = (id(template), tuple(live_out))
+        got = self._cache.get(key)
+        if got is None:
+            if template.total_gates <= self.flatten_max or not template.calls:
+                got = compile_tape(template, tuple(live_out))
+            else:
+                got = self._compile_super(template, tuple(live_out))
+            self._cache[key] = got
+        return got
+
+    def _compile_super(self, template: Template, live_out: tuple) -> SuperProgram:
+        live = wire_live(template, live_out)
+        header = N_SPECIAL + template.n_inputs
+
+        # Super-local wires get slots via linear scan over the step sequence.
+        # First, build the step list with wire references, tracking gid/ct
+        # offsets in program order.
+        steps_raw = []  # (child_spec, input_wires, out_wire_by_pos, gid_off, ct_off)
+        gid_off = 0
+        ct_off = 0
+
+        for item in template.runs:
+            if item[0] == "g":
+                _, start, end = item
+                sub, run_inputs, run_outputs = _gate_run_template(template, start, end)
+                mask = tuple(bool(live[w]) for w in run_outputs)
+                child = self.compile(sub, mask)
+                steps_raw.append((child, run_inputs, run_outputs, gid_off, ct_off))
+                gid_off += child.total_gates
+                ct_off += child.ct_count
+            else:
+                call = template.calls[item[1]]
+                child_mask = call_live_mask(call, live)
+                child = self.compile(call.template, child_mask)
+                steps_raw.append((child, call.inputs, call.outputs, gid_off, ct_off))
+                gid_off += call.template.total_gates
+                ct_off += child.ct_count
+
+        assert gid_off == template.total_gates
+
+        # lifetimes of parent-local wires over the step sequence
+        n_steps = len(steps_raw)
+        last_read: dict[int, int] = {}
+        for si, (child, in_wires, _, _, _) in enumerate(steps_raw):
+            for w in in_wires:
+                if w >= N_SPECIAL:
+                    last_read[w] = si
+        INF = 1 << 60
+        first_internal = N_SPECIAL + template.n_inputs
+        for pos, is_live in enumerate(live_out):
+            w = template.outputs[pos]
+            if is_live and w >= first_internal:
+                last_read[w] = INF
+
+        # linear scan: assign slots to wires written by steps
+        slot_of: dict[int, int] = {}
+        free_slots: list[int] = []
+        expir: list[tuple[int, int]] = []
+        frame_size = 0
+        steps: list[SuperStep] = []
+        scratch = 0
+
+        def op_of(w: int) -> int:
+            if w < N_SPECIAL:
+                return w
+            if N_SPECIAL <= w < N_SPECIAL + template.n_inputs:
+                return w
+            return header + slot_of[w]
+
+        for si, (child, in_wires, out_by_pos, g_off, c_off) in enumerate(steps_raw):
+            while expir and expir[0][0] <= si:
+                _, s = heapq.heappop(expir)
+                heapq.heappush(free_slots, s)
+            input_ops = np.asarray([op_of(w) for w in in_wires], dtype=np.int32)
+            out_slots = []
+            for pos in child.out_positions:
+                w = out_by_pos[int(pos)]
+                if w < N_SPECIAL or not live[w]:
+                    out_slots.append(-1)
+                    continue
+                if w in slot_of:  # duplicated output position (same parent wire)
+                    out_slots.append(slot_of[w])
+                    continue
+                if free_slots:
+                    s = heapq.heappop(free_slots)
+                else:
+                    s = frame_size
+                    frame_size += 1
+                slot_of[w] = s
+                lr = last_read.get(w, si)
+                if lr != INF:
+                    heapq.heappush(expir, (lr + 1, s))
+                out_slots.append(s)
+            steps.append(
+                SuperStep(
+                    child=child,
+                    input_ops=input_ops,
+                    out_slots=np.asarray(out_slots, dtype=np.int32),
+                    gid_offset=g_off,
+                    ct_offset=c_off,
+                )
+            )
+            scratch = max(scratch, _tape_total_frame(child))
+
+        first_internal = N_SPECIAL + template.n_inputs
+        live_positions = [
+            pos
+            for pos, is_live in enumerate(live_out)
+            if is_live and template.outputs[pos] >= first_internal
+        ]
+        out_ops = np.asarray(
+            [op_of(template.outputs[pos]) for pos in live_positions], dtype=np.int32
+        )
+        out_all = np.full(len(template.outputs), -2, dtype=np.int32)
+        for pos, w in enumerate(template.outputs):
+            if w < first_internal:
+                out_all[pos] = w  # const or input code
+            elif w in slot_of:
+                out_all[pos] = header + slot_of[w]
+        return SuperProgram(
+            name=template.name,
+            n_inputs=template.n_inputs,
+            frame_size=frame_size,
+            scratch_size=scratch,
+            total_gates=template.total_gates,
+            ct_count=ct_off,
+            steps=steps,
+            out_ops=out_ops,
+            out_positions=np.asarray(live_positions, dtype=np.int32),
+            out_all_ops=out_all,
+            live_mask=tuple(live_out),
+        )
+
+
+def _gate_run_template(template: Template, start: int, end: int):
+    """Wrap a run of parent gates [start, end) as a synthetic leaf template.
+
+    Returns (sub_template, run_inputs, run_outputs) where run_inputs/outputs
+    are *parent-local* wire ids: inputs = wires read before being written
+    inside the run; outputs = every wire written by the run (the parent's
+    liveness decides which of those are live).
+
+    The tracer always issues a fresh wire per gate output, so each c in the
+    run is unique.
+    """
+    gt = template.gate_type[start:end]
+    a = template.gate_a[start:end]
+    b = template.gate_b[start:end]
+    c = template.gate_c[start:end]
+    n = len(gt)
+    written: set[int] = set()
+    inputs: list[int] = []
+    seen_in: set[int] = set()
+    for i in range(n):
+        for w in (int(a[i]), int(b[i])):
+            if w >= N_SPECIAL and w not in written and w not in seen_in:
+                seen_in.add(w)
+                inputs.append(w)
+        written.add(int(c[i]))
+    outputs = [int(w) for w in c]  # fresh + unique, program order
+
+    remap = {FALSE_WIRE: FALSE_WIRE, TRUE_WIRE: TRUE_WIRE}
+    for j, w in enumerate(inputs):
+        remap[w] = N_SPECIAL + j
+    next_id = N_SPECIAL + len(inputs)
+    new_a = np.empty(n, dtype=np.int64)
+    new_b = np.empty(n, dtype=np.int64)
+    new_c = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        new_a[i] = remap[int(a[i])]
+        new_b[i] = remap[int(b[i])]
+        w = int(c[i])
+        remap[w] = next_id
+        next_id += 1
+        new_c[i] = remap[w]
+
+    sub = Template(
+        key=None,
+        name=f"{template.name}#run{start}",
+        n_inputs=len(inputs),
+        gate_type=gt.copy(),
+        gate_a=new_a,
+        gate_b=new_b,
+        gate_c=new_c,
+        runs=[("g", 0, n)],
+        calls=[],
+        outputs=[remap[w] for w in outputs],
+        out_treedef=None,
+        n_wires=next_id,
+    )
+    sub.own_gates = n
+    sub.total_gates = n
+    hist = np.zeros(11, dtype=np.uint64)
+    if n:
+        np.add.at(hist, gt, 1)
+    sub.hist = hist
+    return sub, inputs, outputs

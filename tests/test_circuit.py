@@ -1,0 +1,232 @@
+"""Circuit pipeline tests: tracer, interpreters, compiler, JAX runtime.
+
+Mirrors the reference's streaming-context and mode-equivalence integration
+tests (SURVEY §4.1/§4.4): template caching, constants, dead-wire elision,
+nested components, and garble→evaluate consistency with ciphertext-stream
+parity — here checked between the sequential interpreters (the oracle) and
+the compiled wave-scheduled runtime.
+"""
+
+from itertools import product
+
+import numpy as np
+import pytest
+
+from gsv_tpu.circuit import component, trace_circuit
+from gsv_tpu.circuit.interp import (
+    EvalWire,
+    EvaluateInterp,
+    ExecuteInterp,
+    GarbleInterp,
+)
+from gsv_tpu.circuit.link import link
+from gsv_tpu.circuit.runtime import PlanExecutor
+from gsv_tpu.circuit.tape import Compiler
+from gsv_tpu.core.gate_types import GateType
+from gsv_tpu.core.labels import (
+    int_array_from_words,
+    words_from_int,
+    words_from_int_array,
+)
+from gsv_tpu.core.rng import GarblerRng
+
+
+@component
+def full_adder(ctx, a, b, cin):
+    axb = ctx.xor(a, b)
+    s = ctx.xor(axb, cin)
+    t1 = ctx.and_(axb, ctx.xor(cin, b))
+    carry = ctx.xor(t1, b)
+    return s, carry
+
+
+@component
+def all_families(ctx, a, b):
+    dead = ctx.and_(a, b)  # noqa: F841 — dead on purpose
+    n = ctx.not_(a)
+    x = ctx.nor(n, b)
+    y = ctx.imp(a, x)
+    return ctx.xnor(y, b)
+
+
+def adder_circuit(ctx, inputs):
+    a0, a1, b0, b1 = inputs
+    s0, c0 = full_adder(ctx, a0, b0, ctx.FALSE)
+    s1, c1 = full_adder(ctx, a1, b1, c0)
+    w = all_families(ctx, s0, c1)
+    return [s0, s1, c1, w, a0]  # includes an input passthrough
+
+
+@pytest.fixture(scope="module")
+def traced():
+    return trace_circuit(adder_circuit, 4)
+
+
+@pytest.fixture(scope="module")
+def plan(traced):
+    tmpl, _ = traced
+    return link(Compiler(flatten_max=1 << 20).compile(tmpl), 4)
+
+
+@pytest.fixture(scope="module")
+def super_plan(traced):
+    tmpl, _ = traced
+    return link(Compiler(flatten_max=4).compile(tmpl), 4)
+
+
+class TestTracer:
+    def test_template_cache(self, traced):
+        tmpl, cache = traced
+        # full_adder traced once, reused once; all_families traced once
+        assert cache.misses == 2
+        assert cache.hits == 1
+
+    def test_gate_counts(self, traced):
+        tmpl, _ = traced
+        assert tmpl.total_gates == 5 + 5 + 5
+        assert int(tmpl.hist[GateType.XOR]) == 4 * 2
+        assert int(tmpl.hist[GateType.AND]) == 1 * 2 + 1
+
+    def test_component_returns_same_structure_on_hit(self, traced):
+        # traced fixture already exercised a cache hit for full_adder —
+        # outputs were a 2-tuple both times (adder_circuit destructures it)
+        pass
+
+
+class TestExecute:
+    def test_matches_interpreter(self, traced, plan):
+        tmpl, _ = traced
+        ex = PlanExecutor(plan)
+        for bits in product([0, 1], repeat=4):
+            want = ExecuteInterp().run(tmpl, [bool(x) for x in bits])
+            got = ex.execute(np.array(bits, dtype=np.uint8))
+            assert [bool(v) for v in got] == want
+
+    def test_super_program_matches(self, traced, super_plan):
+        tmpl, _ = traced
+        assert len(super_plan.steps) > 1
+        ex = PlanExecutor(super_plan)
+        for bits in product([0, 1], repeat=4):
+            want = ExecuteInterp().run(tmpl, [bool(x) for x in bits])
+            got = ex.execute(np.array(bits, dtype=np.uint8))
+            assert [bool(v) for v in got] == want
+
+
+class TestGarbleEvaluate:
+    @pytest.fixture(scope="class")
+    def garbled(self, traced):
+        tmpl, _ = traced
+        g = GarbleInterp(seed=5)
+        out_ref, in_l0 = g.run(tmpl)
+        return g, out_ref, in_l0
+
+    def test_garble_matches_interpreter(self, traced, plan, garbled):
+        g, out_ref, in_l0 = garbled
+        rng = GarblerRng(5)
+        in_labels = [rng.issue_label0() for _ in range(4)]
+        assert in_labels == in_l0  # same draw order as the interpreter
+        cts = []
+        outw, _ = PlanExecutor(plan).garble(
+            words_from_int_array(in_labels),
+            words_from_int(rng.delta),
+            words_from_int(rng.false_label0),
+            words_from_int(rng.true_label0),
+            ct_handler=lambda c: cts.append(np.asarray(c)),
+        )
+        assert int_array_from_words(outw) == out_ref
+        assert int_array_from_words(np.concatenate(cts)) == g.ciphertexts
+
+    def test_evaluate_matches_interpreter(self, traced, plan, garbled):
+        tmpl, _ = traced
+        g, out_ref, in_l0 = garbled
+        delta = g.delta
+        cts_words = words_from_int_array(g.ciphertexts)
+        eex = PlanExecutor(plan)
+        for bits in [(0, 0, 0, 0), (1, 0, 1, 0), (1, 1, 1, 1), (0, 1, 0, 1)]:
+            bits = [bool(b) for b in bits]
+            inl = [l ^ (delta if b else 0) for l, b in zip(in_l0, bits)]
+            labels, vals = eex.evaluate(
+                words_from_int_array(inl),
+                np.array(bits, np.uint8),
+                words_from_int(g.false_label0),
+                words_from_int(g.true_label0 ^ delta),
+                ct_source=lambda base, cnt: cts_words[base : base + cnt],
+            )
+            ev = EvaluateInterp(
+                true_label=g.true_label0 ^ delta, false_label=g.false_label0
+            )
+            want = ev.run(
+                tmpl, [EvalWire(l, b) for l, b in zip(inl, bits)], g.ciphertexts
+            )
+            assert int_array_from_words(labels) == [w.label for w in want]
+            assert [bool(v) for v in vals] == [w.value for w in want]
+            # active output label == label0 ^ value*delta (2PC invariant)
+            for lab, w0, v in zip(
+                int_array_from_words(labels), out_ref, ExecuteInterp().run(tmpl, bits)
+            ):
+                assert lab == (w0 ^ (delta if v else 0))
+
+    def test_batched_instances(self, traced, plan):
+        tmpl, _ = traced
+        seeds = [11, 22]
+        refs, in_labels, deltas, f0, t0 = [], [], [], [], []
+        for s in seeds:
+            gi = GarbleInterp(seed=s)
+            out_ref, _ = gi.run(tmpl)
+            refs.append((out_ref, gi.ciphertexts))
+            rng = GarblerRng(s)
+            in_labels.append(
+                words_from_int_array([rng.issue_label0() for _ in range(4)])
+            )
+            deltas.append(words_from_int(rng.delta))
+            f0.append(words_from_int(rng.false_label0))
+            t0.append(words_from_int(rng.true_label0))
+        ex = PlanExecutor(plan, batch=len(seeds))
+        cts = []
+        outw, _ = ex.garble(
+            np.stack(in_labels),
+            np.stack(deltas),
+            np.stack(f0),
+            np.stack(t0),
+            ct_handler=lambda c: cts.append(np.asarray(c)),
+        )
+        cts = np.concatenate(cts, axis=1)
+        for i in range(len(seeds)):
+            assert int_array_from_words(outw[i]) == refs[i][0]
+            assert int_array_from_words(cts[i]) == refs[i][1]
+
+    def test_super_program_ciphertext_parity(self, traced, super_plan, garbled):
+        g, out_ref, in_l0 = garbled
+        rng = GarblerRng(5)
+        in_labels = [rng.issue_label0() for _ in range(4)]
+        cts = []
+        outw, _ = PlanExecutor(super_plan).garble(
+            words_from_int_array(in_labels),
+            words_from_int(rng.delta),
+            words_from_int(rng.false_label0),
+            words_from_int(rng.true_label0),
+            ct_handler=lambda c: cts.append(np.asarray(c)),
+        )
+        assert int_array_from_words(outw) == out_ref
+        assert int_array_from_words(np.concatenate(cts)) == g.ciphertexts
+
+
+class TestDeadGates:
+    def test_dead_gate_advances_gate_id_but_emits_no_ct(self):
+        @component
+        def gadget(ctx, a, b):
+            dead = ctx.and_(a, b)  # noqa: F841 — non-free AND dead
+            live = ctx.or_(a, b)
+            return live
+
+        def circ(ctx, inputs):
+            return [gadget(ctx, inputs[0], inputs[1])]
+
+        tmpl, _ = trace_circuit(circ, 2)
+        g = GarbleInterp(seed=1)
+        g.run(tmpl)
+        assert g.gate_index == 2  # both gates consumed ids
+        assert len(g.ciphertexts) == 1  # only the live one emitted
+        plan = link(Compiler().compile(tmpl), 2)
+        assert plan.ct_count == 1
+        assert plan.total_gates == 2
