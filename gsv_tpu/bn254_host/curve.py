@@ -195,6 +195,124 @@ def _fq2_lex_gt(a: Fq2, b: Fq2) -> bool:
     return int(a.c0) > int(b.c0)
 
 
+class _Jacobian:
+    """arkworks-compatible short-Weierstrass Jacobian arithmetic.
+
+    The exact coordinate *representatives* matter: circuit constants (e.g.
+    windowed scalar-mul tables, g1.rs:308-368) embed them bit-for-bit, so we
+    use the same formulas as ark-ec — zero = (1, 1, 0), ``add-2007-bl`` for
+    addition with doubling fallback, ``dbl-2009-l`` for doubling.
+    """
+
+    __slots__ = ("x", "y", "z")
+
+    def __init__(self, x, y, z):
+        self.x = x
+        self.y = y
+        self.z = z
+
+    @classmethod
+    def zero(cls):
+        one = cls._field_one()
+        return cls(one, one, cls._field_zero())
+
+    @property
+    def is_zero(self):
+        return self.z.is_zero() if hasattr(self.z, "is_zero") else int(self.z) == 0
+
+    @classmethod
+    def from_affine(cls, p):
+        if p.is_infinity:
+            return cls.zero()
+        return cls(p.x, p.y, cls._field_one())
+
+    def double(self):
+        if self.is_zero:
+            return self
+        X, Y, Z = self.x, self.y, self.z
+        A = X * X
+        B = Y * Y
+        C = B * B
+        t = X + B
+        D = t * t - A - C
+        D = D + D
+        E = A + A + A
+        F = E * E
+        X3 = F - (D + D)
+        eight_c = C + C
+        eight_c = eight_c + eight_c
+        eight_c = eight_c + eight_c
+        Y3 = E * (D - X3) - eight_c
+        Z3 = (Y * Z)
+        Z3 = Z3 + Z3
+        return type(self)(X3, Y3, Z3)
+
+    def __add__(self, other):
+        if self.is_zero:
+            return other
+        if other.is_zero:
+            return self
+        X1, Y1, Z1 = self.x, self.y, self.z
+        X2, Y2, Z2 = other.x, other.y, other.z
+        Z1Z1 = Z1 * Z1
+        Z2Z2 = Z2 * Z2
+        U1 = X1 * Z2Z2
+        U2 = X2 * Z1Z1
+        S1 = Y1 * Z2 * Z2Z2
+        S2 = Y2 * Z1 * Z1Z1
+        if U1 == U2 and S1 == S2:
+            return self.double()
+        H = U2 - U1
+        I = (H + H) * (H + H)
+        J = H * I
+        r = (S2 - S1)
+        r = r + r
+        V = U1 * I
+        X3 = r * r - J - (V + V)
+        S1J = S1 * J
+        Y3 = r * (V - X3) - (S1J + S1J)
+        t = Z1 + Z2
+        Z3 = (t * t - Z1Z1 - Z2Z2) * H
+        return type(self)(X3, Y3, Z3)
+
+    def to_affine(self):
+        raise NotImplementedError
+
+
+class G1Jac(_Jacobian):
+    @staticmethod
+    def _field_one():
+        return Fq(1)
+
+    @staticmethod
+    def _field_zero():
+        return Fq(0)
+
+    def to_affine(self) -> G1:
+        if self.is_zero:
+            return G1.infinity()
+        zinv = self.z.inv()
+        z2 = zinv * zinv
+        return G1(self.x * z2, self.y * z2 * zinv)
+
+
+class G2Jac(_Jacobian):
+    @staticmethod
+    def _field_one():
+        return Fq2.one()
+
+    @staticmethod
+    def _field_zero():
+        return Fq2.zero()
+
+    def to_affine(self) -> G2:
+        if self.is_zero:
+            return G2.infinity()
+        zinv = self.z.inv()
+        z2 = zinv * zinv
+        return G2(self.x * z2, self.y * z2 * zinv)
+
+
 def g1_gen() -> G1:
     return G1(Fq(1), Fq(2))
 

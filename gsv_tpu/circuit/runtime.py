@@ -19,12 +19,23 @@ different seeds) — the TPU analogue of the reference's rayon instance pool
 
 from __future__ import annotations
 
-import functools
-from dataclasses import dataclass
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compilation cache: tapes recur across processes (tests, bench,
+# protocol runs) and XLA compiles dominate cold-start cost.
+_CACHE_DIR = os.environ.get(
+    "GSV_TPU_JIT_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "gsv_tpu_jit")
+)
+try:  # pragma: no cover - best effort
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
 
 from gsv_tpu.circuit.link import CopyStep, Plan, TapeStep
 from gsv_tpu.circuit.tape import CompiledTape
@@ -63,97 +74,158 @@ def _local_gid64(gid_base_hi, gid_base_lo, local: np.ndarray):
 # ----------------------------------------------------------------------
 
 
+_TRASH = 2  # absolute arena index for discarded writes (link.py layout)
+
+
+def _row(arr, i):
+    """Row i of a (n, c) constant array inside a fori_loop body."""
+    return jax.lax.dynamic_index_in_dim(arr, i, axis=0, keepdims=False)
+
+
+def _dst_idx(c_slots, frame_base):
+    """Frame-slot row -> absolute scatter indices; -1 padding -> trash."""
+    return jnp.where(c_slots < 0, _TRASH, frame_base + c_slots)
+
+
 def _execute_tape(tape: CompiledTape, arena, header_map, frame_base):
-    """Boolean execution: arena is (A,) uint8."""
+    """Boolean execution: arena is (A,) uint8; one fori_loop per segment."""
     H = tape.header_size
-    for wv in tape.waves:
-        if len(wv.f_a):
-            a = arena[_abs_idx(wv.f_a, header_map, frame_base, H)]
-            b = arena[_abs_idx(wv.f_b, header_map, frame_base, H)]
-            out = a ^ (b & jnp.asarray(wv.f_bmask)) ^ jnp.asarray(wv.f_flip)
-            arena = arena.at[frame_base + jnp.asarray(wv.f_c)].set(out)
-        if len(wv.n_a):
-            a = arena[_abs_idx(wv.n_a, header_map, frame_base, H)]
-            b = arena[_abs_idx(wv.n_b, header_map, frame_base, H)]
-            tt = jnp.asarray(wv.n_tt)
-            out = ((tt >> (a * 2 + b)) & 1).astype(jnp.uint8)
-            arena = arena.at[frame_base + jnp.asarray(wv.n_c)].set(out)
+    for seg in tape.segments:
+        fa, fb, fc = jnp.asarray(seg.f_a), jnp.asarray(seg.f_b), jnp.asarray(seg.f_c)
+        fbm, ffl = jnp.asarray(seg.f_bmask), jnp.asarray(seg.f_flip)
+        na, nb, nc = jnp.asarray(seg.n_a), jnp.asarray(seg.n_b), jnp.asarray(seg.n_c)
+        ntt = jnp.asarray(seg.n_tt)
+
+        def body(i, arena, fa=fa, fb=fb, fc=fc, fbm=fbm, ffl=ffl, na=na, nb=nb, nc=nc, ntt=ntt, cf=seg.cf, cn=seg.cn):
+            if cf:
+                a = arena[_abs_idx(_row(fa, i), header_map, frame_base, H)]
+                b = arena[_abs_idx(_row(fb, i), header_map, frame_base, H)]
+                out = a ^ (b & _row(fbm, i)) ^ _row(ffl, i)
+                arena = arena.at[_dst_idx(_row(fc, i), frame_base)].set(out)
+            if cn:
+                a = arena[_abs_idx(_row(na, i), header_map, frame_base, H)]
+                b = arena[_abs_idx(_row(nb, i), header_map, frame_base, H)]
+                tt = _row(ntt, i)
+                out = ((tt >> (a * 2 + b)) & 1).astype(jnp.uint8)
+                arena = arena.at[_dst_idx(_row(nc, i), frame_base)].set(out)
+            return arena
+
+        if seg.n_waves == 1:
+            arena = body(0, arena)
+        else:
+            arena = jax.lax.fori_loop(0, seg.n_waves, body, arena)
     return arena
 
 
 def _garble_tape(tape: CompiledTape, arena, header_map, frame_base, delta, gid_hi, gid_lo):
-    """Half-gates garbling: arena (A, 4) uint32 of label0s; returns cts."""
+    """Half-gates garbling: arena (A, 4) uint32 of label0s; returns cts.
+
+    The ciphertext buffer has one trailing trash row (index ct_count) that
+    absorbs padded-lane scatters; it is sliced off at the end.
+    """
     H = tape.header_size
-    cts = jnp.zeros((max(tape.ct_count, 1), 4), jnp.uint32)
-    for wv in tape.waves:
-        if len(wv.f_a):
-            a = arena[_abs_idx(wv.f_a, header_map, frame_base, H)]
-            b = arena[_abs_idx(wv.f_b, header_map, frame_base, H)]
-            bm = jnp.asarray(_mask32(wv.f_bmask))
-            dm = jnp.asarray(_mask32(wv.f_flip))
-            out = a ^ (b & bm) ^ (delta[None, :] & dm)
-            arena = arena.at[frame_base + jnp.asarray(wv.f_c)].set(out)
-        if len(wv.n_a):
-            a0 = arena[_abs_idx(wv.n_a, header_map, frame_base, H)]
-            b0 = arena[_abs_idx(wv.n_b, header_map, frame_base, H)]
-            aam = jnp.asarray(_mask32(wv.n_aa))
-            abm = jnp.asarray(_mask32(wv.n_ab))
-            acm = jnp.asarray(_mask32(wv.n_ac))
-            d = delta[None, :]
-            sel_a = a0 ^ (d & aam)
-            other_a = sel_a ^ d
-            hi, lo = _local_gid64(gid_hi, gid_lo, wv.n_gid)
-            tw = tweak_words(hi, lo, xp=jnp)
-            blocks = jnp.concatenate([sel_a ^ tw, other_a ^ tw], axis=0)
-            blocks, _ = _pad32(blocks)
-            h = aes_encrypt_words(blocks, xp=jnp)
-            w = len(wv.n_a)
-            h_sel, h_other = h[:w], h[w : 2 * w]
-            b_sel = b0 ^ (d & abm)
-            ct = h_sel ^ h_other ^ b_sel
-            w0 = h_sel ^ (d & acm)
-            arena = arena.at[frame_base + jnp.asarray(wv.n_c)].set(w0)
-            cts = cts.at[jnp.asarray(wv.n_ct)].set(ct)
-    return arena, cts
+    cts = jnp.zeros((tape.ct_count + 1, 4), jnp.uint32)
+    d1 = delta[None, :]
+    for seg in tape.segments:
+        fa, fb, fc = jnp.asarray(seg.f_a), jnp.asarray(seg.f_b), jnp.asarray(seg.f_c)
+        fbm = jnp.asarray((seg.f_bmask.astype(np.uint32) * np.uint32(0xFFFFFFFF))[..., None])
+        ffl = jnp.asarray((seg.f_flip.astype(np.uint32) * np.uint32(0xFFFFFFFF))[..., None])
+        na, nb, nc = jnp.asarray(seg.n_a), jnp.asarray(seg.n_b), jnp.asarray(seg.n_c)
+        ngid, nct = jnp.asarray(seg.n_gid), jnp.asarray(seg.n_ct)
+        aam = jnp.asarray((seg.n_aa.astype(np.uint32) * np.uint32(0xFFFFFFFF))[..., None])
+        abm = jnp.asarray((seg.n_ab.astype(np.uint32) * np.uint32(0xFFFFFFFF))[..., None])
+        acm = jnp.asarray((seg.n_ac.astype(np.uint32) * np.uint32(0xFFFFFFFF))[..., None])
+
+        def body(i, carry, fa=fa, fb=fb, fc=fc, fbm=fbm, ffl=ffl, na=na, nb=nb,
+                 nc=nc, ngid=ngid, nct=nct, aam=aam, abm=abm, acm=acm,
+                 cf=seg.cf, cn=seg.cn):
+            arena, cts = carry
+            if cf:
+                a = arena[_abs_idx(_row(fa, i), header_map, frame_base, H)]
+                b = arena[_abs_idx(_row(fb, i), header_map, frame_base, H)]
+                out = a ^ (b & _row(fbm, i)) ^ (d1 & _row(ffl, i))
+                arena = arena.at[_dst_idx(_row(fc, i), frame_base)].set(out)
+            if cn:
+                a0 = arena[_abs_idx(_row(na, i), header_map, frame_base, H)]
+                b0 = arena[_abs_idx(_row(nb, i), header_map, frame_base, H)]
+                sel_a = a0 ^ (d1 & _row(aam, i))
+                other_a = sel_a ^ d1
+                hi, lo = _local_gid64(gid_hi, gid_lo, _row(ngid, i))
+                tw = tweak_words(hi, lo, xp=jnp)
+                blocks = jnp.concatenate([sel_a ^ tw, other_a ^ tw], axis=0)
+                h = aes_encrypt_words(blocks, xp=jnp)
+                h_sel, h_other = h[:cn], h[cn:]
+                b_sel = b0 ^ (d1 & _row(abm, i))
+                ct = h_sel ^ h_other ^ b_sel
+                w0 = h_sel ^ (d1 & _row(acm, i))
+                arena = arena.at[_dst_idx(_row(nc, i), frame_base)].set(w0)
+                cts = cts.at[_row(nct, i)].set(ct)
+            return arena, cts
+
+        if seg.n_waves == 1:
+            arena, cts = body(0, (arena, cts))
+        else:
+            arena, cts = jax.lax.fori_loop(0, seg.n_waves, body, (arena, cts))
+    return arena, cts[: tape.ct_count]
 
 
 def _evaluate_tape(
     tape: CompiledTape, arena, bits, cts_in, header_map, frame_base, gid_hi, gid_lo
 ):
-    """Half-gates evaluation: arena (A, 4) active labels + bits (A,) uint8."""
+    """Half-gates evaluation: arena (A, 4) active labels + bits (A,) uint8.
+
+    One AES block per non-free gate; the evaluate AES batch is cn lanes, so
+    classes being multiples of 16 means a cn=16 segment pads to 32 blocks
+    inside ``_pad32``.
+    """
     H = tape.header_size
-    for wv in tape.waves:
-        if len(wv.f_a):
-            ai = _abs_idx(wv.f_a, header_map, frame_base, H)
-            bi = _abs_idx(wv.f_b, header_map, frame_base, H)
-            la, lb = arena[ai], arena[bi]
-            va, vb = bits[ai], bits[bi]
-            bm = jnp.asarray(_mask32(wv.f_bmask))
-            bm1 = jnp.asarray(wv.f_bmask)
-            out_l = la ^ (lb & bm)
-            out_v = va ^ (vb & bm1) ^ jnp.asarray(wv.f_flip)
-            ci = frame_base + jnp.asarray(wv.f_c)
-            arena = arena.at[ci].set(out_l)
-            bits = bits.at[ci].set(out_v)
-        if len(wv.n_a):
-            ai = _abs_idx(wv.n_a, header_map, frame_base, H)
-            bi = _abs_idx(wv.n_b, header_map, frame_base, H)
-            la, lb = arena[ai], arena[bi]
-            va, vb = bits[ai], bits[bi]
-            hi, lo = _local_gid64(gid_hi, gid_lo, wv.n_gid)
-            tw = tweak_words(hi, lo, xp=jnp)
-            blocks, _ = _pad32(la ^ tw)
-            h = aes_encrypt_words(blocks, xp=jnp)[: len(wv.n_a)]
-            ct = cts_in[jnp.asarray(wv.n_ct)]
-            use = (va != jnp.asarray(wv.n_aa)).astype(jnp.uint32)[:, None] * jnp.uint32(
-                0xFFFFFFFF
-            )
-            out_l = jnp.where(use.astype(bool), ct ^ h ^ lb, h)
-            tt = jnp.asarray(wv.n_tt)
-            out_v = ((tt >> (va * 2 + vb)) & 1).astype(jnp.uint8)
-            ci = frame_base + jnp.asarray(wv.n_c)
-            arena = arena.at[ci].set(out_l)
-            bits = bits.at[ci].set(out_v)
+    for seg in tape.segments:
+        fa, fb, fc = jnp.asarray(seg.f_a), jnp.asarray(seg.f_b), jnp.asarray(seg.f_c)
+        fbm = jnp.asarray((seg.f_bmask.astype(np.uint32) * np.uint32(0xFFFFFFFF))[..., None])
+        fbm1 = jnp.asarray(seg.f_bmask)
+        ffl = jnp.asarray(seg.f_flip)
+        na, nb, nc = jnp.asarray(seg.n_a), jnp.asarray(seg.n_b), jnp.asarray(seg.n_c)
+        ngid, nct = jnp.asarray(seg.n_gid), jnp.asarray(seg.n_ct)
+        naa, ntt = jnp.asarray(seg.n_aa), jnp.asarray(seg.n_tt)
+        max_ct = max(tape.ct_count - 1, 0)
+
+        def body(i, carry, fa=fa, fb=fb, fc=fc, fbm=fbm, fbm1=fbm1, ffl=ffl,
+                 na=na, nb=nb, nc=nc, ngid=ngid, nct=nct, naa=naa, ntt=ntt,
+                 cf=seg.cf, cn=seg.cn, max_ct=max_ct):
+            arena, bits = carry
+            if cf:
+                ai = _abs_idx(_row(fa, i), header_map, frame_base, H)
+                bi = _abs_idx(_row(fb, i), header_map, frame_base, H)
+                la, lb = arena[ai], arena[bi]
+                va, vb = bits[ai], bits[bi]
+                out_l = la ^ (lb & _row(fbm, i))
+                out_v = va ^ (vb & _row(fbm1, i)) ^ _row(ffl, i)
+                ci = _dst_idx(_row(fc, i), frame_base)
+                arena = arena.at[ci].set(out_l)
+                bits = bits.at[ci].set(out_v)
+            if cn:
+                ai = _abs_idx(_row(na, i), header_map, frame_base, H)
+                bi = _abs_idx(_row(nb, i), header_map, frame_base, H)
+                la, lb = arena[ai], arena[bi]
+                va, vb = bits[ai], bits[bi]
+                hi, lo = _local_gid64(gid_hi, gid_lo, _row(ngid, i))
+                tw = tweak_words(hi, lo, xp=jnp)
+                blocks, _ = _pad32(la ^ tw)
+                h = aes_encrypt_words(blocks, xp=jnp)[:cn]
+                ct = cts_in[jnp.clip(_row(nct, i), 0, max_ct)]
+                use = (va != _row(naa, i))[:, None]
+                out_l = jnp.where(use, ct ^ h ^ lb, h)
+                tt = _row(ntt, i)
+                out_v = ((tt >> (va * 2 + vb)) & 1).astype(jnp.uint8)
+                ci = _dst_idx(_row(nc, i), frame_base)
+                arena = arena.at[ci].set(out_l)
+                bits = bits.at[ci].set(out_v)
+            return arena, bits
+
+        if seg.n_waves == 1:
+            arena, bits = body(0, (arena, bits))
+        else:
+            arena, bits = jax.lax.fori_loop(0, seg.n_waves, body, (arena, bits))
     return arena, bits
 
 
@@ -189,7 +261,7 @@ class PlanExecutor:
     # -- jit caches ----------------------------------------------------
 
     def _fn(self, tape: CompiledTape, mode: str):
-        key = (id(tape), mode)
+        key = (tape.content_key, mode)
         fn = self._fns.get(key)
         if fn is not None:
             return fn

@@ -76,6 +76,126 @@ class Wave:
 
 
 @dataclass
+class Segment:
+    """A run of consecutive waves padded to uniform widths for scan execution.
+
+    ``n_waves`` waves; free gates padded to ``cf`` lanes, non-free to ``cn``.
+    Padded lanes carry sentinel -1 in the c-slot (scattered to the global
+    trash slot) and operand code 0 (reads the FALSE constant — harmless).
+    All arrays have leading dim n_waves.
+    """
+
+    n_waves: int
+    cf: int
+    cn: int
+    f_a: np.ndarray  # (n, cf) int32 operand codes
+    f_b: np.ndarray
+    f_c: np.ndarray  # (n, cf) int32 frame slot, -1 = padding
+    f_bmask: np.ndarray  # (n, cf) uint8
+    f_flip: np.ndarray
+    n_a: np.ndarray  # (n, cn)
+    n_b: np.ndarray
+    n_c: np.ndarray
+    n_gid: np.ndarray  # (n, cn) uint32
+    n_ct: np.ndarray  # (n, cn) int32; padding points at ct_count (dropped)
+    n_aa: np.ndarray
+    n_ab: np.ndarray
+    n_ac: np.ndarray
+    n_tt: np.ndarray
+
+
+def _width_class(w: int, classes) -> int:
+    for c in classes:
+        if w <= c:
+            return c
+    return classes[-1]
+
+
+def build_segments(
+    waves: list[Wave], ct_count: int, classes=(16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
+) -> list[Segment]:
+    """Group consecutive waves by (free, nonfree) width class and pad.
+
+    Keeps wave order (dependencies!); a new segment starts whenever either
+    width class changes.  Classes are multiples of 16 so the doubled AES
+    batch stays a multiple of 32.
+    """
+    segs: list[Segment] = []
+    run: list[Wave] = []
+    run_key = None
+
+    def flush():
+        if not run:
+            return
+        cf, cn = run_key
+        n = len(run)
+
+        def padf(get, fill, dtype):
+            out = np.full((n, cf), fill, dtype=dtype)
+            for i, wv in enumerate(run):
+                a = get(wv)
+                out[i, : len(a)] = a
+            return out
+
+        def padn(get, fill, dtype):
+            out = np.full((n, cn), fill, dtype=dtype)
+            for i, wv in enumerate(run):
+                a = get(wv)
+                out[i, : len(a)] = a
+            return out
+
+        segs.append(
+            Segment(
+                n_waves=n,
+                cf=cf,
+                cn=cn,
+                f_a=padf(lambda w: w.f_a, 0, np.int32),
+                f_b=padf(lambda w: w.f_b, 0, np.int32),
+                f_c=padf(lambda w: w.f_c, -1, np.int32),
+                f_bmask=padf(lambda w: w.f_bmask, 0, np.uint8),
+                f_flip=padf(lambda w: w.f_flip, 0, np.uint8),
+                n_a=padn(lambda w: w.n_a, 0, np.int32),
+                n_b=padn(lambda w: w.n_b, 0, np.int32),
+                n_c=padn(lambda w: w.n_c, -1, np.int32),
+                n_gid=padn(lambda w: w.n_gid, 0, np.uint32),
+                n_ct=padn(lambda w: w.n_ct, ct_count, np.int32),
+                n_aa=padn(lambda w: w.n_aa, 0, np.uint8),
+                n_ab=padn(lambda w: w.n_ab, 0, np.uint8),
+                n_ac=padn(lambda w: w.n_ac, 0, np.uint8),
+                n_tt=padn(lambda w: w.n_tt, 0, np.uint8),
+            )
+        )
+        run.clear()
+
+    # classes per wave, then max-window smoothing so alternating widths don't
+    # fragment segments (each segment boundary costs a separate loop body)
+    n = len(waves)
+    cfs = np.array(
+        [_width_class(len(w.f_a), classes) if len(w.f_a) else 0 for w in waves],
+        dtype=np.int64,
+    )
+    cns = np.array(
+        [_width_class(len(w.n_a), classes) if len(w.n_a) else 0 for w in waves],
+        dtype=np.int64,
+    )
+    WIN = 8
+    if n > 1:
+        sm_cf = np.array([cfs[max(0, i - WIN) : i + WIN + 1].max() for i in range(n)])
+        sm_cn = np.array([cns[max(0, i - WIN) : i + WIN + 1].max() for i in range(n)])
+    else:
+        sm_cf, sm_cn = cfs, cns
+
+    for i, wv in enumerate(waves):
+        key = (int(sm_cf[i]), int(sm_cn[i]))
+        if run_key != key:
+            flush()
+            run_key = key
+        run.append(wv)
+    flush()
+    return segs
+
+
+@dataclass
 class CompiledTape:
     name: str
     n_inputs: int
@@ -94,6 +214,40 @@ class CompiledTape:
     @property
     def header_size(self) -> int:
         return N_SPECIAL + self.n_inputs
+
+    _content_key: str = None
+    _segments: list = None
+
+    @property
+    def segments(self) -> list:
+        """Scan-execution form (built lazily, cached)."""
+        if self._segments is None:
+            object.__setattr__(self, "_segments", build_segments(self.waves, self.ct_count))
+        return self._segments
+
+    @property
+    def content_key(self) -> str:
+        """Structural hash: identical tapes share jit compilations even when
+        they came from distinct component keys (e.g. the reference keys
+        identical inverse chunks by index)."""
+        if self._content_key is None:
+            import hashlib
+
+            h = hashlib.blake2b(digest_size=16)
+            h.update(
+                f"{self.n_inputs},{self.frame_size},{self.ct_count},{self.total_gates}".encode()
+            )
+            for wv in self.waves:
+                for arr in (
+                    wv.f_a, wv.f_b, wv.f_c, wv.f_bmask, wv.f_flip,
+                    wv.n_a, wv.n_b, wv.n_c, wv.n_gid, wv.n_ct,
+                    wv.n_aa, wv.n_ab, wv.n_ac, wv.n_tt,
+                ):
+                    h.update(np.ascontiguousarray(arr).tobytes())
+                    h.update(b"|")
+            h.update(np.ascontiguousarray(self.out_ops).tobytes())
+            object.__setattr__(self, "_content_key", h.hexdigest())
+        return self._content_key
 
 
 @dataclass
