@@ -1,0 +1,79 @@
+"""Mesh construction and sharded batched garbling.
+
+Instance data-parallelism: the cut-and-choose batch axis is laid out across
+an ``instances`` mesh axis; every chip garbles its shard of instances with
+identical tapes (the plan is replicated — it is the *program*, instances are
+the *data*).  Cross-chip aggregation (commitment digests, gate counters)
+rides ``psum`` over ICI.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gsv_tpu.circuit.link import Plan, TapeStep
+from gsv_tpu.circuit.runtime import (
+    _garble_tape,
+    _scatter_outputs,
+)
+
+
+def instance_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), ("instances",))
+
+
+def shard_instances(mesh: Mesh, arr):
+    """Shard a batched array along its leading (instance) axis."""
+    spec = P("instances", *([None] * (np.ndim(arr) - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def sharded_garble_step(plan: Plan, mesh: Mesh):
+    """Build a jitted step garbling a sharded batch of instances through the
+    whole plan, returning per-instance output labels and a psum-aggregated
+    ciphertext checksum (stands in for the stream commitment reduction).
+    """
+    steps = [s for s in plan.steps if isinstance(s, TapeStep)]
+    inst = P("instances")
+    repl = P()
+
+    def one_instance(arena, delta):
+        checksum = jnp.zeros((4,), jnp.uint32)
+        for st in steps:
+            gid_hi = jnp.uint32(st.gid_base >> 32)
+            gid_lo = jnp.uint32(st.gid_base & 0xFFFFFFFF)
+            arena, cts = _garble_tape(
+                st.tape,
+                arena,
+                jnp.asarray(st.header_map),
+                st.frame_base,
+                delta,
+                gid_hi,
+                gid_lo,
+            )
+            arena = _scatter_outputs(
+                st.tape, arena, jnp.asarray(st.header_map), st.frame_base,
+                jnp.asarray(st.outputs_map),
+            )
+            if st.tape.ct_count:
+                checksum = checksum + cts.sum(axis=0)
+        out = arena[jnp.asarray(plan.output_abs)]
+        return out, checksum
+
+    def step(arenas, deltas):
+        outs, checksums = jax.vmap(one_instance)(arenas, deltas)
+        # aggregate a cross-instance digest over the mesh (ICI collective)
+        total = jnp.sum(checksums.astype(jnp.uint32), axis=0)
+        return outs, total
+
+    return jax.jit(
+        step,
+        in_shardings=(NamedSharding(mesh, P("instances")), NamedSharding(mesh, P("instances"))),
+        out_shardings=(NamedSharding(mesh, inst), NamedSharding(mesh, repl)),
+    )

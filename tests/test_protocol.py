@@ -1,0 +1,121 @@
+"""Cut-and-choose protocol tests (reference: src/cut_and_choose/tests.rs —
+the one-bit e2e with commit/challenge/open/regarble-check/evaluate flow,
+plus tamper detection)."""
+
+import dataclasses
+import random
+
+import pytest
+
+from gsv_tpu.circuit import component
+from gsv_tpu.circuit.ciphertext import ArraySource, CollectHandler, HashHandler, TeeHandler
+from gsv_tpu.circuit.interp import ExecuteInterp
+from gsv_tpu.circuit.streaming import CircuitRunner, EvaluatedWire
+from gsv_tpu.protocol.cut_and_choose import (
+    Config,
+    ConsistencyError,
+    Evaluator,
+    Garbler,
+)
+
+
+@component
+def _fa_like(ctx, a, b, cin):
+    x = ctx.xor(a, b)
+    return ctx.xor(ctx.and_(x, ctx.xor(cin, b)), b)
+
+
+def _circ(ctx, ins):
+    r = _fa_like(ctx, ins[0], ins[1], ins[2])
+    return [_fa_like(ctx, r, ins[3], ins[0])]
+
+
+@pytest.fixture(scope="module")
+def runner():
+    return CircuitRunner(_circ, 4)
+
+
+@pytest.fixture(scope="module")
+def protocol_run(runner):
+    cfg = Config(total=4, to_finalize=2)
+    g = Garbler(runner, cfg, seeds=[11, 22, 33, 44])
+    g.create()
+    commits = g.commit()
+    ev = Evaluator(random.Random(3), cfg, commits)
+    open_seeds, regarble = g.open_commit(ev.to_finalize)
+    streams, hashes = {}, {}
+
+    def factory(i):
+        col, hsh = CollectHandler(), HashHandler()
+        streams[i], hashes[i] = col, hsh
+        return TeeHandler(col, hsh)
+
+    regarble(factory)
+    return g, ev, commits, open_seeds, streams, hashes
+
+
+class TestCutAndChoose:
+    def test_opened_instances_verify(self, runner, protocol_run):
+        g, ev, commits, open_seeds, _, _ = protocol_run
+        assert len(open_seeds) == 2
+        ev.check_opened(runner, open_seeds)
+
+    def test_finalized_evaluate_with_checks(self, runner, protocol_run):
+        g, ev, commits, open_seeds, streams, hashes = protocol_run
+        bits = [True, True, False, True]
+        want = ExecuteInterp().run(runner.template, bits)[0]
+        for i in ev.to_finalize:
+            ev.check_finalized_stream_hash(i, hashes[i].finalize())
+            inst = g.instances[i]
+            inputs = [
+                EvaluatedWire(gw.select(b), b)
+                for gw, b in zip(inst.input_labels, bits)
+            ]
+            out = ev.evaluate(
+                runner,
+                i,
+                inputs,
+                true_label=inst.true_wire.select(True),
+                false_label=inst.false_wire.select(False),
+                ct_source=ArraySource(streams[i].stream()),
+            )
+            assert out.value == want
+
+    def test_tampered_commit_detected(self, runner, protocol_run):
+        g, ev, commits, open_seeds, _, _ = protocol_run
+        bad = list(commits)
+        opened_idx = next(i for i in open_seeds)
+        bad[opened_idx] = dataclasses.replace(
+            commits[opened_idx], ciphertext_commit=b"\x00" * 16
+        )
+        ev2 = Evaluator.__new__(Evaluator)
+        ev2.config = ev.config
+        ev2.commits = bad
+        ev2.to_finalize = ev.to_finalize
+        with pytest.raises(ConsistencyError):
+            ev2.check_opened(runner, open_seeds)
+
+    def test_wrong_input_label_detected(self, runner, protocol_run):
+        g, ev, commits, open_seeds, streams, hashes = protocol_run
+        i = ev.to_finalize[0]
+        inst = g.instances[i]
+        bits = [True, False, False, False]
+        inputs = [
+            EvaluatedWire(gw.select(b), b) for gw, b in zip(inst.input_labels, bits)
+        ]
+        # flip the claimed value of input 0 without changing the label
+        inputs[0] = EvaluatedWire(inputs[0].active_label, not inputs[0].value)
+        with pytest.raises(ConsistencyError):
+            ev.evaluate(
+                runner,
+                i,
+                inputs,
+                true_label=inst.true_wire.select(True),
+                false_label=inst.false_wire.select(False),
+                ct_source=ArraySource(streams[i].stream()),
+            )
+
+    def test_stream_hash_mismatch_detected(self, protocol_run):
+        g, ev, commits, open_seeds, streams, hashes = protocol_run
+        with pytest.raises(ConsistencyError):
+            ev.check_finalized_stream_hash(ev.to_finalize[0], b"\xff" * 16)
