@@ -295,89 +295,96 @@ def _tape_total_frame(c: Union[CompiledTape, SuperProgram]) -> int:
 
 
 class _FlatBuilder:
-    """Accumulates the flattened live-gate list of a template subtree."""
+    """Accumulates the flattened live-gate arrays of a template subtree."""
 
     __slots__ = ("gt", "a", "b", "c", "gid", "next_wire", "gid_counter")
 
     def __init__(self, n_inputs: int):
-        self.gt: list[int] = []
-        self.a: list[int] = []
-        self.b: list[int] = []
-        self.c: list[int] = []
-        self.gid: list[int] = []
+        self.gt: list[np.ndarray] = []
+        self.a: list[np.ndarray] = []
+        self.b: list[np.ndarray] = []
+        self.c: list[np.ndarray] = []
+        self.gid: list[np.ndarray] = []
         self.next_wire = N_SPECIAL + n_inputs
         self.gid_counter = 0
 
-    def new_wire(self) -> int:
-        w = self.next_wire
-        self.next_wire += 1
-        return w
+
+def _call_meta(call: Call):
+    """Cached vectorized views of a call's wire bindings."""
+    meta = getattr(call, "_meta", None)
+    if meta is None:
+        inputs_arr = np.asarray(call.inputs, dtype=np.int64)
+        pw, cw = [], []
+        for pos, parent_w in enumerate(call.outputs):
+            child_w = call.template.outputs[pos]
+            if parent_w >= N_SPECIAL:
+                pw.append(parent_w)
+                cw.append(child_w)
+        meta = (inputs_arr, np.asarray(pw, dtype=np.int64), np.asarray(cw, dtype=np.int64))
+        call._meta = meta
+    return meta
 
 
 def _flatten_into(
     fb: _FlatBuilder,
     template: Template,
     live_out: tuple,
-    wire_map: dict[int, int],
+    wire_map: np.ndarray,
     live_cache: dict,
 ):
-    """Inline ``template`` (with ``live_out`` mask); wire_map maps the
-    template's local ids (constants + inputs pre-seeded) to flat ids."""
+    """Inline ``template``; wire_map is an (n_wires,) int64 array mapping
+    template-local ids -> flat ids (constants + inputs pre-seeded, -1 =
+    unmapped).  Exploits SSA (every wire written once, before any read) to
+    process whole gate runs vectorized."""
     ck = (id(template), live_out)
     live = live_cache.get(ck)
     if live is None:
         live = wire_live(template, live_out)
         live_cache[ck] = live
 
-    gt_arr = template.gate_type
-    a_arr, b_arr, c_arr = template.gate_a, template.gate_b, template.gate_c
     for item in template.runs:
         if item[0] == "g":
             _, start, end = item
-            for i in range(start, end):
-                gid = fb.gid_counter
-                fb.gid_counter += 1
-                c = int(c_arr[i])
-                if not live[c]:
-                    continue
-                fc = wire_map.get(c)
-                if fc is None:
-                    fc = fb.new_wire()
-                    wire_map[c] = fc
-                fb.gt.append(int(gt_arr[i]))
-                fb.a.append(wire_map[int(a_arr[i])])
-                fb.b.append(wire_map[int(b_arr[i])])
-                fb.c.append(fc)
-                fb.gid.append(gid)
+            c = template.gate_c[start:end]
+            live_g = live[c]
+            n_live = int(live_g.sum())
+            if n_live:
+                new_ids = fb.next_wire + np.cumsum(live_g) - 1
+                wire_map[c[live_g]] = new_ids[live_g]
+                fb.next_wire += n_live
+                fb.gt.append(template.gate_type[start:end][live_g])
+                fb.a.append(wire_map[template.gate_a[start:end][live_g]])
+                fb.b.append(wire_map[template.gate_b[start:end][live_g]])
+                fb.c.append(wire_map[c[live_g]])
+                fb.gid.append(
+                    fb.gid_counter + np.nonzero(live_g)[0].astype(np.int64)
+                )
+            fb.gid_counter += end - start
         else:
             call = template.calls[item[1]]
             child_mask = call_live_mask(call, live)
-            child_map = {FALSE_WIRE: FALSE_WIRE, TRUE_WIRE: TRUE_WIRE}
-            for j, w in enumerate(call.inputs):
-                child_map[2 + j] = wire_map[w]
+            inputs_arr, out_pw, out_cw = _call_meta(call)
+            child_map = np.full(call.template.n_wires, -1, dtype=np.int64)
+            child_map[FALSE_WIRE] = FALSE_WIRE
+            child_map[TRUE_WIRE] = TRUE_WIRE
+            if len(inputs_arr):
+                child_map[N_SPECIAL : N_SPECIAL + len(inputs_arr)] = wire_map[inputs_arr]
             _flatten_into(fb, call.template, child_mask, child_map, live_cache)
-            for pos, parent_w in enumerate(call.outputs):
-                child_w = call.template.outputs[pos]
-                if parent_w < N_SPECIAL:
-                    continue
-                fw = child_map.get(child_w)
-                if fw is None:
-                    # child output wire was dead inside the child; the parent
-                    # wire is then dead too (no producer) — leave unmapped so
-                    # a read would fail loudly.
-                    continue
-                wire_map[parent_w] = fw
+            if len(out_pw):
+                # dead-in-child outputs stay -1 (reads of them fail loudly)
+                wire_map[out_pw] = child_map[out_cw]
 
 
-def flatten_template(template: Template, live_out: tuple) -> _FlatBuilder:
+def flatten_template(template: Template, live_out: tuple):
     fb = _FlatBuilder(template.n_inputs)
-    wire_map = {FALSE_WIRE: FALSE_WIRE, TRUE_WIRE: TRUE_WIRE}
+    wire_map = np.full(template.n_wires, -1, dtype=np.int64)
+    wire_map[FALSE_WIRE] = FALSE_WIRE
+    wire_map[TRUE_WIRE] = TRUE_WIRE
     for i in range(template.n_inputs):
         wire_map[2 + i] = N_SPECIAL + i
     _flatten_into(fb, template, live_out, wire_map, {})
     assert fb.gid_counter == template.total_gates
-    # final map of template outputs -> flat wires (-1 = dead/unmapped)
-    out_flat = [wire_map.get(w, -1) for w in template.outputs]
+    out_flat = [int(wire_map[w]) for w in template.outputs]
     return fb, out_flat
 
 
@@ -388,15 +395,20 @@ def flatten_template(template: Template, live_out: tuple) -> _FlatBuilder:
 
 def compile_tape(template: Template, live_out: tuple) -> CompiledTape:
     fb, out_flat = flatten_template(template, live_out)
-    n = len(fb.gt)
     n_in = template.n_inputs
     header = N_SPECIAL + n_in
 
-    gt = np.asarray(fb.gt, dtype=np.uint8)
-    a = np.asarray(fb.a, dtype=np.int64)
-    b = np.asarray(fb.b, dtype=np.int64)
-    c = np.asarray(fb.c, dtype=np.int64)
-    gids = np.asarray(fb.gid, dtype=np.uint32)
+    def cat(parts, dtype):
+        if not parts:
+            return np.zeros(0, dtype=dtype)
+        return np.concatenate(parts).astype(dtype, copy=False)
+
+    gt = cat(fb.gt, np.uint8)
+    a = cat(fb.a, np.int64)
+    b = cat(fb.b, np.int64)
+    c = cat(fb.c, np.int64)
+    gids = cat(fb.gid, np.uint32)
+    n = len(gt)
 
     # ciphertext positions: rank among live non-free gates in program order
     free_flag = np.isin(gt, (GateType.XOR, GateType.XNOR, GateType.NOT))
@@ -404,14 +416,18 @@ def compile_tape(template: Template, live_out: tuple) -> CompiledTape:
     ct_count = int((~free_flag).sum())
 
     # ASAP levels (wires indexed flat; header wires = level 0)
-    wire_level = np.zeros(fb.next_wire, dtype=np.int64)
-    gate_level = np.zeros(n, dtype=np.int64)
-    for i in range(n):
-        lv = wire_level[a[i]]
-        lb = wire_level[b[i]]
-        g = (lv if lv >= lb else lb) + 1
-        gate_level[i] = g
-        wire_level[c[i]] = g
+    from gsv_tpu import native
+
+    gate_level = native.compute_levels(a, b, c, fb.next_wire)
+    if gate_level is None:  # pure-Python fallback
+        wire_level = np.zeros(fb.next_wire, dtype=np.int64)
+        gate_level = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            lv = wire_level[a[i]]
+            lb = wire_level[b[i]]
+            g = (lv if lv >= lb else lb) + 1
+            gate_level[i] = g
+            wire_level[c[i]] = g
 
     # last read level per wire (live template outputs pinned to the end)
     INF = np.iinfo(np.int64).max
@@ -428,31 +444,34 @@ def compile_tape(template: Template, live_out: tuple) -> CompiledTape:
 
     # linear-scan slot allocation in wave order
     order = np.argsort(gate_level, kind="stable")
-    slot_of = np.full(fb.next_wire, -1, dtype=np.int64)
-    free_slots: list[int] = []
-    frame_size = 0
-    # expiry[level] -> slots to free once execution reaches `level`
-    expiries: list[tuple[int, int]] = []  # heap of (level, slot)
-    prev_level = 0
-    for idx in order:
-        g = gate_level[idx]
-        if g != prev_level:
-            while expiries and expiries[0][0] <= g:
-                _, s = heapq.heappop(expiries)
-                heapq.heappush(free_slots, s)
-            prev_level = g
-        w = c[idx]
-        if free_slots:
-            s = heapq.heappop(free_slots)
-        else:
-            s = frame_size
-            frame_size += 1
-        slot_of[w] = s
-        lr = last_read[w]
-        if lr == -1:
-            lr = g  # write-only wire: reusable at the next level
-        if lr != INF:
-            heapq.heappush(expiries, (lr + 1, s))
+    alloc = native.alloc_slots(order, gate_level, c, last_read, fb.next_wire, INF)
+    if alloc is not None:
+        slot_of, frame_size = alloc
+    else:
+        slot_of = np.full(fb.next_wire, -1, dtype=np.int64)
+        free_slots: list[int] = []
+        frame_size = 0
+        expiries: list[tuple[int, int]] = []  # heap of (level, slot)
+        prev_level = 0
+        for idx in order:
+            g = gate_level[idx]
+            if g != prev_level:
+                while expiries and expiries[0][0] <= g:
+                    _, s = heapq.heappop(expiries)
+                    heapq.heappush(free_slots, s)
+                prev_level = g
+            w = c[idx]
+            if free_slots:
+                s = heapq.heappop(free_slots)
+            else:
+                s = frame_size
+                frame_size += 1
+            slot_of[w] = s
+            lr = last_read[w]
+            if lr == -1:
+                lr = g  # write-only wire: reusable at the next level
+            if lr != INF:
+                heapq.heappush(expiries, (lr + 1, s))
 
     # operand codes: header wires keep their index; internal wires -> header + slot
     def opcode(w_arr):
@@ -466,18 +485,13 @@ def compile_tape(template: Template, live_out: tuple) -> CompiledTape:
     c_slot = slot_of[c].astype(np.int32)
     assert (c_slot >= 0).all()
 
-    # build waves
+    # build waves: split the stable level-sorted order at level boundaries
+    # (stability preserves program order within a wave)
     waves: list[Wave] = []
     if n:
-        max_level = int(gate_level.max())
-        # bucket gate indices by level, preserving program order
-        level_index: list[list[int]] = [[] for _ in range(max_level + 1)]
-        for i in range(n):
-            level_index[gate_level[i]].append(i)
-        for lv in range(1, max_level + 1):
-            idxs = np.asarray(level_index[lv], dtype=np.int64)
-            if idxs.size == 0:
-                continue
+        sorted_levels = gate_level[order]
+        boundaries = np.nonzero(np.diff(sorted_levels))[0] + 1
+        for idxs in np.split(order, boundaries):
             fmask = free_flag[idxs]
             fi = idxs[fmask]
             ni = idxs[~fmask]
