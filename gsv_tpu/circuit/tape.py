@@ -53,17 +53,23 @@ N_SPECIAL = 2  # operands below this are constants
 
 
 @dataclass
-class Wave:
-    """One parallel step: independent free gates + independent AND-variants."""
+class TapeStreams:
+    """Wave-ordered flat gate streams with per-wave offset tables.
 
-    # free gates: out_label = a ^ (b & b_mask) ^ (delta & delta_mask)
-    #             out_value = a ^ (b & b_mask) ^ flip
+    Waves are topological levels; all gates in a wave are independent.  Free
+    gates (``out_label = a ^ (b & b_mask) ^ (delta & delta_mask)``) and
+    AND-variants (half-gates) form two parallel streams; wave w spans
+    ``f_off[w]:f_off[w+1]`` / ``n_off[w]:n_off[w+1]``.
+    """
+
+    n_waves: int
+    f_off: np.ndarray  # (n_waves+1,) int64
+    n_off: np.ndarray
     f_a: np.ndarray  # operand codes, int32
     f_b: np.ndarray
-    f_c: np.ndarray  # frame slot
+    f_c: np.ndarray  # frame slot, int32
     f_bmask: np.ndarray  # uint8 0/1 (0 for NOT)
     f_flip: np.ndarray  # uint8 0/1 (1 for XNOR/NOT)
-    # non-free gates (half-gates)
     n_a: np.ndarray
     n_b: np.ndarray
     n_c: np.ndarray
@@ -73,6 +79,19 @@ class Wave:
     n_ab: np.ndarray
     n_ac: np.ndarray
     n_tt: np.ndarray  # uint8 truth table (execute/evaluate value path)
+
+    @classmethod
+    def empty(cls) -> "TapeStreams":
+        z32 = np.zeros(0, dtype=np.int32)
+        z8 = np.zeros(0, dtype=np.uint8)
+        off = np.zeros(1, dtype=np.int64)
+        return cls(
+            n_waves=0, f_off=off, n_off=off,
+            f_a=z32, f_b=z32, f_c=z32, f_bmask=z8, f_flip=z8,
+            n_a=z32, n_b=z32, n_c=z32,
+            n_gid=np.zeros(0, dtype=np.uint32), n_ct=z32,
+            n_aa=z8, n_ab=z8, n_ac=z8, n_tt=z8,
+        )
 
 
 @dataclass
@@ -104,94 +123,91 @@ class Segment:
     n_tt: np.ndarray
 
 
-def _width_class(w: int, classes) -> int:
-    for c in classes:
-        if w <= c:
-            return c
-    return classes[-1]
+_CLASSES = np.array(
+    [16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 1 << 20],
+    dtype=np.int64,
+)
 
 
-def build_segments(
-    waves: list[Wave], ct_count: int, classes=(16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
-) -> list[Segment]:
-    """Group consecutive waves by (free, nonfree) width class and pad.
+def _width_classes(widths: np.ndarray) -> np.ndarray:
+    """Smallest padded class per width (0 stays 0); multiples of 16 so the
+    doubled AES batch stays a multiple of 32."""
+    idx = np.searchsorted(_CLASSES, widths)
+    out = _CLASSES[np.minimum(idx, len(_CLASSES) - 1)]
+    return np.where(widths == 0, 0, out)
 
-    Keeps wave order (dependencies!); a new segment starts whenever either
-    width class changes.  Classes are multiples of 16 so the doubled AES
-    batch stays a multiple of 32.
-    """
+
+def _smooth_max(x: np.ndarray, win: int) -> np.ndarray:
+    n = len(x)
+    if n <= 1:
+        return x
+    out = x.copy()
+    for s in range(1, win + 1):
+        out[:-s] = np.maximum(out[:-s], x[s:])
+        out[s:] = np.maximum(out[s:], x[:-s])
+    return out
+
+
+def _pad_rows(flat: np.ndarray, starts: np.ndarray, widths: np.ndarray, c: int, fill):
+    """(flat stream, per-row starts/widths) -> (n_rows, c) padded matrix."""
+    n = len(starts)
+    col = np.arange(c, dtype=np.int64)[None, :]
+    idx = starts[:, None] + col
+    valid = col < widths[:, None]
+    idx = np.minimum(idx, max(len(flat) - 1, 0))
+    if len(flat) == 0:
+        return np.full((n, c), fill, dtype=flat.dtype)
+    return np.where(valid, flat[idx], np.asarray(fill, dtype=flat.dtype))
+
+
+def build_segments(streams: TapeStreams, ct_count: int) -> list[Segment]:
+    """Group consecutive waves by (free, nonfree) width class and pad —
+    fully vectorized per segment.
+
+    Wave order is preserved (dependencies); a new segment starts whenever
+    either smoothed width class changes (max-window smoothing keeps
+    alternating widths from fragmenting segments)."""
+    nw = streams.n_waves
+    if nw == 0:
+        return []
+    fw = np.diff(streams.f_off)
+    nww = np.diff(streams.n_off)
+    cfs = _smooth_max(_width_classes(fw), 8)
+    cns = _smooth_max(_width_classes(nww), 8)
+
+    key = cfs * (1 << 32) + cns
+    bounds = np.concatenate([[0], np.nonzero(np.diff(key))[0] + 1, [nw]])
+
     segs: list[Segment] = []
-    run: list[Wave] = []
-    run_key = None
-
-    def flush():
-        if not run:
-            return
-        cf, cn = run_key
-        n = len(run)
-
-        def padf(get, fill, dtype):
-            out = np.full((n, cf), fill, dtype=dtype)
-            for i, wv in enumerate(run):
-                a = get(wv)
-                out[i, : len(a)] = a
-            return out
-
-        def padn(get, fill, dtype):
-            out = np.full((n, cn), fill, dtype=dtype)
-            for i, wv in enumerate(run):
-                a = get(wv)
-                out[i, : len(a)] = a
-            return out
-
+    for s in range(len(bounds) - 1):
+        w0, w1 = int(bounds[s]), int(bounds[s + 1])
+        cf, cn = int(cfs[w0]), int(cns[w0])
+        n = w1 - w0
+        fs = streams.f_off[w0:w1]
+        fwid = fw[w0:w1]
+        ns = streams.n_off[w0:w1]
+        nwid = nww[w0:w1]
         segs.append(
             Segment(
                 n_waves=n,
                 cf=cf,
                 cn=cn,
-                f_a=padf(lambda w: w.f_a, 0, np.int32),
-                f_b=padf(lambda w: w.f_b, 0, np.int32),
-                f_c=padf(lambda w: w.f_c, -1, np.int32),
-                f_bmask=padf(lambda w: w.f_bmask, 0, np.uint8),
-                f_flip=padf(lambda w: w.f_flip, 0, np.uint8),
-                n_a=padn(lambda w: w.n_a, 0, np.int32),
-                n_b=padn(lambda w: w.n_b, 0, np.int32),
-                n_c=padn(lambda w: w.n_c, -1, np.int32),
-                n_gid=padn(lambda w: w.n_gid, 0, np.uint32),
-                n_ct=padn(lambda w: w.n_ct, ct_count, np.int32),
-                n_aa=padn(lambda w: w.n_aa, 0, np.uint8),
-                n_ab=padn(lambda w: w.n_ab, 0, np.uint8),
-                n_ac=padn(lambda w: w.n_ac, 0, np.uint8),
-                n_tt=padn(lambda w: w.n_tt, 0, np.uint8),
+                f_a=_pad_rows(streams.f_a, fs, fwid, cf, 0),
+                f_b=_pad_rows(streams.f_b, fs, fwid, cf, 0),
+                f_c=_pad_rows(streams.f_c, fs, fwid, cf, -1),
+                f_bmask=_pad_rows(streams.f_bmask, fs, fwid, cf, 0),
+                f_flip=_pad_rows(streams.f_flip, fs, fwid, cf, 0),
+                n_a=_pad_rows(streams.n_a, ns, nwid, cn, 0),
+                n_b=_pad_rows(streams.n_b, ns, nwid, cn, 0),
+                n_c=_pad_rows(streams.n_c, ns, nwid, cn, -1),
+                n_gid=_pad_rows(streams.n_gid, ns, nwid, cn, 0),
+                n_ct=_pad_rows(streams.n_ct, ns, nwid, cn, ct_count),
+                n_aa=_pad_rows(streams.n_aa, ns, nwid, cn, 0),
+                n_ab=_pad_rows(streams.n_ab, ns, nwid, cn, 0),
+                n_ac=_pad_rows(streams.n_ac, ns, nwid, cn, 0),
+                n_tt=_pad_rows(streams.n_tt, ns, nwid, cn, 0),
             )
         )
-        run.clear()
-
-    # classes per wave, then max-window smoothing so alternating widths don't
-    # fragment segments (each segment boundary costs a separate loop body)
-    n = len(waves)
-    cfs = np.array(
-        [_width_class(len(w.f_a), classes) if len(w.f_a) else 0 for w in waves],
-        dtype=np.int64,
-    )
-    cns = np.array(
-        [_width_class(len(w.n_a), classes) if len(w.n_a) else 0 for w in waves],
-        dtype=np.int64,
-    )
-    WIN = 8
-    if n > 1:
-        sm_cf = np.array([cfs[max(0, i - WIN) : i + WIN + 1].max() for i in range(n)])
-        sm_cn = np.array([cns[max(0, i - WIN) : i + WIN + 1].max() for i in range(n)])
-    else:
-        sm_cf, sm_cn = cfs, cns
-
-    for i, wv in enumerate(waves):
-        key = (int(sm_cf[i]), int(sm_cn[i]))
-        if run_key != key:
-            flush()
-            run_key = key
-        run.append(wv)
-    flush()
     return segs
 
 
@@ -202,7 +218,7 @@ class CompiledTape:
     frame_size: int
     total_gates: int  # including dead; the gate-id span
     ct_count: int  # live non-free gates = ciphertext count
-    waves: list[Wave]
+    streams: TapeStreams
     # live internal outputs: operand codes to read, aligned with out_positions
     out_ops: np.ndarray  # int32 operand codes
     out_positions: np.ndarray  # int32 positions in template.outputs order
@@ -222,8 +238,14 @@ class CompiledTape:
     def segments(self) -> list:
         """Scan-execution form (built lazily, cached)."""
         if self._segments is None:
-            object.__setattr__(self, "_segments", build_segments(self.waves, self.ct_count))
+            object.__setattr__(
+                self, "_segments", build_segments(self.streams, self.ct_count)
+            )
         return self._segments
+
+    @property
+    def n_waves(self) -> int:
+        return self.streams.n_waves
 
     @property
     def content_key(self) -> str:
@@ -237,14 +259,14 @@ class CompiledTape:
             h.update(
                 f"{self.n_inputs},{self.frame_size},{self.ct_count},{self.total_gates}".encode()
             )
-            for wv in self.waves:
-                for arr in (
-                    wv.f_a, wv.f_b, wv.f_c, wv.f_bmask, wv.f_flip,
-                    wv.n_a, wv.n_b, wv.n_c, wv.n_gid, wv.n_ct,
-                    wv.n_aa, wv.n_ab, wv.n_ac, wv.n_tt,
-                ):
-                    h.update(np.ascontiguousarray(arr).tobytes())
-                    h.update(b"|")
+            st = self.streams
+            for arr in (
+                st.f_off, st.n_off, st.f_a, st.f_b, st.f_c, st.f_bmask, st.f_flip,
+                st.n_a, st.n_b, st.n_c, st.n_gid, st.n_ct,
+                st.n_aa, st.n_ab, st.n_ac, st.n_tt,
+            ):
+                h.update(np.ascontiguousarray(arr).tobytes())
+                h.update(b"|")
             h.update(np.ascontiguousarray(self.out_ops).tobytes())
             object.__setattr__(self, "_content_key", h.hexdigest())
         return self._content_key
@@ -485,36 +507,45 @@ def compile_tape(template: Template, live_out: tuple) -> CompiledTape:
     c_slot = slot_of[c].astype(np.int32)
     assert (c_slot >= 0).all()
 
-    # build waves: split the stable level-sorted order at level boundaries
-    # (stability preserves program order within a wave)
-    waves: list[Wave] = []
+    # Flat wave-ordered streams: stable level sort preserves program order
+    # within each wave; free and non-free gates become two parallel streams
+    # with per-wave offset tables (everything vectorized — no per-wave work).
     if n:
         sorted_levels = gate_level[order]
         boundaries = np.nonzero(np.diff(sorted_levels))[0] + 1
-        for idxs in np.split(order, boundaries):
-            fmask = free_flag[idxs]
-            fi = idxs[fmask]
-            ni = idxs[~fmask]
-            waves.append(
-                Wave(
-                    f_a=a_op[fi],
-                    f_b=b_op[fi],
-                    f_c=c_slot[fi],
-                    f_bmask=(gt[fi] != GateType.NOT).astype(np.uint8),
-                    f_flip=np.isin(gt[fi], (GateType.XNOR, GateType.NOT)).astype(
-                        np.uint8
-                    ),
-                    n_a=a_op[ni],
-                    n_b=b_op[ni],
-                    n_c=c_slot[ni],
-                    n_gid=gids[ni],
-                    n_ct=ct_pos[ni].astype(np.int32),
-                    n_aa=ALPHA_A[gt[ni]],
-                    n_ab=ALPHA_B[gt[ni]],
-                    n_ac=ALPHA_C[gt[ni]],
-                    n_tt=TRUTH_TABLE[gt[ni]],
-                )
-            )
+        n_waves = len(boundaries) + 1
+        fmask_sorted = free_flag[order]
+        f_idx = order[fmask_sorted]
+        n_idx = order[~fmask_sorted]
+        # per-wave counts via boundary positions in each stream
+        csum_f = np.concatenate([[0], np.cumsum(fmask_sorted)])
+        wave_bounds = np.concatenate([[0], boundaries, [n]])
+        f_off = csum_f[wave_bounds].astype(np.int64)
+        n_off = (wave_bounds - f_off).astype(np.int64)
+
+        gt_f = gt[f_idx]
+        gt_n = gt[n_idx]
+        streams = TapeStreams(
+            n_waves=n_waves,
+            f_off=f_off,
+            n_off=n_off,
+            f_a=a_op[f_idx],
+            f_b=b_op[f_idx],
+            f_c=c_slot[f_idx],
+            f_bmask=(gt_f != GateType.NOT).astype(np.uint8),
+            f_flip=np.isin(gt_f, (GateType.XNOR, GateType.NOT)).astype(np.uint8),
+            n_a=a_op[n_idx],
+            n_b=b_op[n_idx],
+            n_c=c_slot[n_idx],
+            n_gid=gids[n_idx],
+            n_ct=ct_pos[n_idx].astype(np.int32),
+            n_aa=ALPHA_A[gt_n],
+            n_ab=ALPHA_B[gt_n],
+            n_ac=ALPHA_C[gt_n],
+            n_tt=TRUTH_TABLE[gt_n],
+        )
+    else:
+        streams = TapeStreams.empty()
 
     out_ops = opcode([out_flat[pos] for pos in live_out_positions])
     out_all = np.full(len(template.outputs), -2, dtype=np.int32)
@@ -527,7 +558,7 @@ def compile_tape(template: Template, live_out: tuple) -> CompiledTape:
         frame_size=int(frame_size),
         total_gates=template.total_gates,
         ct_count=ct_count,
-        waves=waves,
+        streams=streams,
         out_ops=out_ops,
         out_positions=np.asarray(live_out_positions, dtype=np.int32),
         out_all_ops=out_all,
