@@ -39,9 +39,23 @@ def find_naf(n: int) -> list[int]:
     return digits
 
 
+# ark-bn254's hardcoded ATE_LOOP_COUNT: signed digits of 6x+2, LSB first.
+# NOTE: this is NOT the standard NAF (it contains adjacent nonzero digits);
+# the digit pattern is load-bearing for gate counts and ciphertext parity
+# because the Miller loop's add-step structure follows it exactly.
+# Validated: sum(d_i * 2^i) == 6*BN_X + 2 (see tests).
+ATE_LOOP_COUNT = [
+    0, 0, 0, 1, 0, 1, 0, -1, 0, 0, 1, -1, 0, 0, 1, 0, 0, 1, 1, 0, -1, 0, 0, 1,
+    0, -1, 0, 0, 0, 0, 1, 1, 1, 0, 0, -1, 0, 0, 1, 0, 0, 0, 0, 0, -1, 0, 0, 1,
+    1, 0, 0, -1, 0, 0, 0, 1, 1, 0, -1, 0, 0, 1, 0, 1, 1,
+]
+
+assert sum(d * (1 << i) for i, d in enumerate(ATE_LOOP_COUNT)) == 6 * BN_X + 2
+
+
 def ate_loop_count() -> list[int]:
     """Signed digits of 6x+2, LSB first (ark_bn254 ATE_LOOP_COUNT)."""
-    return find_naf(6 * BN_X + 2)
+    return list(ATE_LOOP_COUNT)
 
 
 @dataclass
