@@ -30,7 +30,7 @@ def main() -> None:
     from gsv_tpu.core.rng import GarblerRng
     from gsv_tpu.models.groth16_verifier import fq12_mul_model
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     runner = fq12_mul_model()
     plan = runner.plan
     total_gates = runner.template.total_gates

@@ -250,13 +250,20 @@ class PlanExecutor:
     """Runs a linked Plan in one of the three modes.
 
     Jitted step functions are cached per (tape id, mode) — every instance and
-    every step reusing a tape shares one compilation.
+    every step reusing a tape shares one compilation.  Progress is logged
+    every 50M gates (``gsv_tpu.core.progress``) for the monitor scripts.
     """
 
-    def __init__(self, plan: Plan, batch: int | None = None):
+    def __init__(self, plan: Plan, batch: int | None = None, instance: int | None = None):
         self.plan = plan
         self.batch = batch  # None = unbatched
+        self.instance = instance
         self._fns: dict = {}
+
+    def _progress(self, phase: str):
+        from gsv_tpu.core.progress import ProgressLogger
+
+        return ProgressLogger(phase, instance=self.instance)
 
     # -- jit caches ----------------------------------------------------
 
@@ -342,10 +349,12 @@ class PlanExecutor:
         arena[..., 1] = 1
         arena[..., plan.input_abs] = input_bits
         arena = jnp.asarray(arena)
+        prog = self._progress("executed")
         for st in plan.steps:
             if isinstance(st, TapeStep):
                 fn = self._fn(st.tape, "execute")
                 arena = fn(arena, jnp.asarray(st.header_map), jnp.asarray(st.outputs_map), st.frame_base)
+                prog.advance(st.tape.total_gates)
             else:
                 arena = self._copy_fn(len(st.src), "execute")(
                     arena, jnp.asarray(st.src), jnp.asarray(st.dst)
@@ -370,6 +379,7 @@ class PlanExecutor:
         arena[..., plan.input_abs, :] = input_label0s
         arena = jnp.asarray(arena)
         delta = jnp.asarray(delta, dtype=jnp.uint32)
+        prog = self._progress("garbled")
         for st in plan.steps:
             if isinstance(st, TapeStep):
                 fn = self._fn(st.tape, "garble")
@@ -386,6 +396,7 @@ class PlanExecutor:
                 )
                 if ct_handler is not None and st.tape.ct_count:
                     ct_handler(cts[..., : st.tape.ct_count, :])
+                prog.advance(st.tape.total_gates)
             else:
                 arena = self._copy_fn(len(st.src), "execute")(
                     arena, jnp.asarray(st.src), jnp.asarray(st.dst)
@@ -413,6 +424,7 @@ class PlanExecutor:
         bits[..., plan.input_abs] = input_bits
         arena = jnp.asarray(arena)
         bits = jnp.asarray(bits)
+        prog = self._progress("evaluated")
         for st in plan.steps:
             if isinstance(st, TapeStep):
                 fn = self._fn(st.tape, "evaluate")
@@ -434,6 +446,7 @@ class PlanExecutor:
                     gid_hi,
                     gid_lo,
                 )
+                prog.advance(st.tape.total_gates)
             else:
                 arena, bits = self._copy_fn(len(st.src), "evaluate")(
                     arena, bits, jnp.asarray(st.src), jnp.asarray(st.dst)
