@@ -14,6 +14,7 @@ aggregate throughput (~249M gates/s, 16 instances on 8 cores, README.md:13).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -24,7 +25,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from gsv_tpu.circuit.link import CopyStep, TapeStep
+    from gsv_tpu.circuit.link import TapeStep
     from gsv_tpu.circuit.runtime import PlanExecutor
     from gsv_tpu.core.labels import words_from_int
     from gsv_tpu.core.rng import GarblerRng

@@ -9,6 +9,7 @@ DCE'd) and reports gates/s.
 Usage: python examples/bench_groth16_garble.py [B]
 """
 
+import os
 import sys
 import time
 

@@ -34,3 +34,10 @@ arrays and AND-variants are bitsliced fixed-key AES over gate waves.
 """
 
 __version__ = "0.1.0"
+
+# NOTE on this environment's tunneled TPU: kernel compilation happens via the
+# plugin's remote-compile service (PALLAS_AXON_REMOTE_COMPILE=1, the preset).
+# Do NOT switch to local compilation — the terminal rejects AOT executables
+# built with a mismatched local libtpu.  Tape programs are kept small (gate
+# arrays are passed as runtime arguments, not HLO constants) so they stay
+# under the remote-compile request-size limit.

@@ -40,7 +40,29 @@ except Exception:
 from gsv_tpu.circuit.link import CopyStep, Plan, TapeStep
 from gsv_tpu.circuit.tape import CompiledTape
 from gsv_tpu.ops.aes_jax import aes_encrypt_words
+from gsv_tpu.ops.blake3_jax import blake3_hash_words
 from gsv_tpu.ops.tweaks import tweak_words
+
+
+def _gate_hash2(sel_a, other_a, hi, lo, hasher):
+    """Hash both a-labels with the same gate id (garble path)."""
+    if hasher == "aes":
+        tw = tweak_words(hi, lo, xp=jnp)
+        blocks = jnp.concatenate([sel_a ^ tw, other_a ^ tw], axis=0)
+        return aes_encrypt_words(blocks, xp=jnp)
+    blocks = jnp.concatenate([sel_a, other_a], axis=0)
+    hi2 = jnp.concatenate([hi, hi])
+    lo2 = jnp.concatenate([lo, lo])
+    return blake3_hash_words(blocks, hi2, lo2, xp=jnp)
+
+
+def _gate_hash1(labels, hi, lo, hasher):
+    """Hash the single active a-label (evaluate path)."""
+    if hasher == "aes":
+        tw = tweak_words(hi, lo, xp=jnp)
+        blocks, _ = _pad32(labels ^ tw)
+        return aes_encrypt_words(blocks, xp=jnp)[: labels.shape[0]]
+    return blake3_hash_words(labels, hi, lo, xp=jnp)
 
 
 def _mask32(bits_u8: np.ndarray) -> np.ndarray:
@@ -74,6 +96,40 @@ def _local_gid64(gid_base_hi, gid_base_lo, local: np.ndarray):
 # ----------------------------------------------------------------------
 
 
+
+# Per-segment arrays in a fixed order so tape programs can take them as
+# runtime arguments instead of embedded HLO constants (keeps programs small
+# for the remote-compile service and dedupes memory across instances).
+_SEG_FIELDS = (
+    "f_a", "f_b", "f_c", "f_bmask", "f_flip",
+    "n_a", "n_b", "n_c", "n_gid", "n_ct", "n_aa", "n_ab", "n_ac", "n_tt",
+)
+
+
+def seg_arg_list(tape: CompiledTape) -> list:
+    out = []
+    for seg in tape.segments:
+        for f in _SEG_FIELDS:
+            out.append(getattr(seg, f))
+    return out
+
+
+def _seg_views(tape: CompiledTape, seg_flat):
+    """Group a flat arg list back into per-segment dicts; None -> constants."""
+    if seg_flat is None:
+        return [
+            {f: jnp.asarray(getattr(seg, f)) for f in _SEG_FIELDS}
+            for seg in tape.segments
+        ]
+    it = iter(seg_flat)
+    return [{f: next(it) for f in _SEG_FIELDS} for _ in tape.segments]
+
+
+def _m32(x):
+    """0/1 uint8 rows -> (n, c, 1) uint32 masks (inside jit; negligible cost)."""
+    return (x.astype(jnp.uint32) * jnp.uint32(0xFFFFFFFF))[..., None]
+
+
 _TRASH = 2  # absolute arena index for discarded writes (link.py layout)
 
 
@@ -87,14 +143,14 @@ def _dst_idx(c_slots, frame_base):
     return jnp.where(c_slots < 0, _TRASH, frame_base + c_slots)
 
 
-def _execute_tape(tape: CompiledTape, arena, header_map, frame_base):
+def _execute_tape(tape: CompiledTape, arena, header_map, frame_base, seg_flat=None):
     """Boolean execution: arena is (A,) uint8; one fori_loop per segment."""
     H = tape.header_size
-    for seg in tape.segments:
-        fa, fb, fc = jnp.asarray(seg.f_a), jnp.asarray(seg.f_b), jnp.asarray(seg.f_c)
-        fbm, ffl = jnp.asarray(seg.f_bmask), jnp.asarray(seg.f_flip)
-        na, nb, nc = jnp.asarray(seg.n_a), jnp.asarray(seg.n_b), jnp.asarray(seg.n_c)
-        ntt = jnp.asarray(seg.n_tt)
+    for seg, sv in zip(tape.segments, _seg_views(tape, seg_flat)):
+        fa, fb, fc = sv["f_a"], sv["f_b"], sv["f_c"]
+        fbm, ffl = sv["f_bmask"], sv["f_flip"]
+        na, nb, nc = sv["n_a"], sv["n_b"], sv["n_c"]
+        ntt = sv["n_tt"]
 
         def body(i, arena, fa=fa, fb=fb, fc=fc, fbm=fbm, ffl=ffl, na=na, nb=nb, nc=nc, ntt=ntt, cf=seg.cf, cn=seg.cn):
             if cf:
@@ -117,7 +173,7 @@ def _execute_tape(tape: CompiledTape, arena, header_map, frame_base):
     return arena
 
 
-def _garble_tape(tape: CompiledTape, arena, header_map, frame_base, delta, gid_hi, gid_lo):
+def _garble_tape(tape: CompiledTape, arena, header_map, frame_base, delta, gid_hi, gid_lo, hasher="aes", seg_flat=None):
     """Half-gates garbling: arena (A, 4) uint32 of label0s; returns cts.
 
     The ciphertext buffer has one trailing trash row (index ct_count) that
@@ -126,15 +182,15 @@ def _garble_tape(tape: CompiledTape, arena, header_map, frame_base, delta, gid_h
     H = tape.header_size
     cts = jnp.zeros((tape.ct_count + 1, 4), jnp.uint32)
     d1 = delta[None, :]
-    for seg in tape.segments:
-        fa, fb, fc = jnp.asarray(seg.f_a), jnp.asarray(seg.f_b), jnp.asarray(seg.f_c)
-        fbm = jnp.asarray((seg.f_bmask.astype(np.uint32) * np.uint32(0xFFFFFFFF))[..., None])
-        ffl = jnp.asarray((seg.f_flip.astype(np.uint32) * np.uint32(0xFFFFFFFF))[..., None])
-        na, nb, nc = jnp.asarray(seg.n_a), jnp.asarray(seg.n_b), jnp.asarray(seg.n_c)
-        ngid, nct = jnp.asarray(seg.n_gid), jnp.asarray(seg.n_ct)
-        aam = jnp.asarray((seg.n_aa.astype(np.uint32) * np.uint32(0xFFFFFFFF))[..., None])
-        abm = jnp.asarray((seg.n_ab.astype(np.uint32) * np.uint32(0xFFFFFFFF))[..., None])
-        acm = jnp.asarray((seg.n_ac.astype(np.uint32) * np.uint32(0xFFFFFFFF))[..., None])
+    for seg, sv in zip(tape.segments, _seg_views(tape, seg_flat)):
+        fa, fb, fc = sv["f_a"], sv["f_b"], sv["f_c"]
+        fbm = _m32(sv["f_bmask"])
+        ffl = _m32(sv["f_flip"])
+        na, nb, nc = sv["n_a"], sv["n_b"], sv["n_c"]
+        ngid, nct = sv["n_gid"], sv["n_ct"]
+        aam = _m32(sv["n_aa"])
+        abm = _m32(sv["n_ab"])
+        acm = _m32(sv["n_ac"])
 
         def body(i, carry, fa=fa, fb=fb, fc=fc, fbm=fbm, ffl=ffl, na=na, nb=nb,
                  nc=nc, ngid=ngid, nct=nct, aam=aam, abm=abm, acm=acm,
@@ -151,9 +207,7 @@ def _garble_tape(tape: CompiledTape, arena, header_map, frame_base, delta, gid_h
                 sel_a = a0 ^ (d1 & _row(aam, i))
                 other_a = sel_a ^ d1
                 hi, lo = _local_gid64(gid_hi, gid_lo, _row(ngid, i))
-                tw = tweak_words(hi, lo, xp=jnp)
-                blocks = jnp.concatenate([sel_a ^ tw, other_a ^ tw], axis=0)
-                h = aes_encrypt_words(blocks, xp=jnp)
+                h = _gate_hash2(sel_a, other_a, hi, lo, hasher)
                 h_sel, h_other = h[:cn], h[cn:]
                 b_sel = b0 ^ (d1 & _row(abm, i))
                 ct = h_sel ^ h_other ^ b_sel
@@ -170,7 +224,8 @@ def _garble_tape(tape: CompiledTape, arena, header_map, frame_base, delta, gid_h
 
 
 def _evaluate_tape(
-    tape: CompiledTape, arena, bits, cts_in, header_map, frame_base, gid_hi, gid_lo
+    tape: CompiledTape, arena, bits, cts_in, header_map, frame_base, gid_hi, gid_lo,
+    hasher="aes", seg_flat=None,
 ):
     """Half-gates evaluation: arena (A, 4) active labels + bits (A,) uint8.
 
@@ -179,14 +234,14 @@ def _evaluate_tape(
     inside ``_pad32``.
     """
     H = tape.header_size
-    for seg in tape.segments:
-        fa, fb, fc = jnp.asarray(seg.f_a), jnp.asarray(seg.f_b), jnp.asarray(seg.f_c)
-        fbm = jnp.asarray((seg.f_bmask.astype(np.uint32) * np.uint32(0xFFFFFFFF))[..., None])
-        fbm1 = jnp.asarray(seg.f_bmask)
-        ffl = jnp.asarray(seg.f_flip)
-        na, nb, nc = jnp.asarray(seg.n_a), jnp.asarray(seg.n_b), jnp.asarray(seg.n_c)
-        ngid, nct = jnp.asarray(seg.n_gid), jnp.asarray(seg.n_ct)
-        naa, ntt = jnp.asarray(seg.n_aa), jnp.asarray(seg.n_tt)
+    for seg, sv in zip(tape.segments, _seg_views(tape, seg_flat)):
+        fa, fb, fc = sv["f_a"], sv["f_b"], sv["f_c"]
+        fbm = _m32(sv["f_bmask"])
+        fbm1 = sv["f_bmask"]
+        ffl = sv["f_flip"]
+        na, nb, nc = sv["n_a"], sv["n_b"], sv["n_c"]
+        ngid, nct = sv["n_gid"], sv["n_ct"]
+        naa, ntt = sv["n_aa"], sv["n_tt"]
         max_ct = max(tape.ct_count - 1, 0)
 
         def body(i, carry, fa=fa, fb=fb, fc=fc, fbm=fbm, fbm1=fbm1, ffl=ffl,
@@ -209,9 +264,7 @@ def _evaluate_tape(
                 la, lb = arena[ai], arena[bi]
                 va, vb = bits[ai], bits[bi]
                 hi, lo = _local_gid64(gid_hi, gid_lo, _row(ngid, i))
-                tw = tweak_words(hi, lo, xp=jnp)
-                blocks, _ = _pad32(la ^ tw)
-                h = aes_encrypt_words(blocks, xp=jnp)[:cn]
+                h = _gate_hash1(la, hi, lo, hasher)
                 ct = cts_in[jnp.clip(_row(nct, i), 0, max_ct)]
                 use = (va != _row(naa, i))[:, None]
                 out_l = jnp.where(use, ct ^ h ^ lb, h)
@@ -254,10 +307,18 @@ class PlanExecutor:
     every 50M gates (``gsv_tpu.core.progress``) for the monitor scripts.
     """
 
-    def __init__(self, plan: Plan, batch: int | None = None, instance: int | None = None):
+    def __init__(
+        self,
+        plan: Plan,
+        batch: int | None = None,
+        instance: int | None = None,
+        hasher: str = "aes",
+    ):
+        assert hasher in ("aes", "blake3")
         self.plan = plan
         self.batch = batch  # None = unbatched
         self.instance = instance
+        self.hasher = hasher
         self._fns: dict = {}
 
     def _progress(self, phase: str):
@@ -267,38 +328,55 @@ class PlanExecutor:
 
     # -- jit caches ----------------------------------------------------
 
+    def _seg_dev(self, tape: CompiledTape) -> list:
+        """Device-resident segment arrays, uploaded once per distinct tape."""
+        key = ("segs", tape.content_key)
+        dev = self._fns.get(key)
+        if dev is None:
+            dev = [jnp.asarray(a) for a in seg_arg_list(tape)]
+            self._fns[key] = dev
+        return dev
+
     def _fn(self, tape: CompiledTape, mode: str):
-        key = (tape.content_key, mode)
+        key = (tape.content_key, mode, self.hasher)
         fn = self._fns.get(key)
         if fn is not None:
             return fn
+        n_seg_args = len(tape.segments) * len(_SEG_FIELDS)
 
         if mode == "execute":
 
-            def step(arena, header_map, outputs_map, frame_base):
-                arena = _execute_tape(tape, arena, header_map, frame_base)
+            def step(arena, header_map, outputs_map, frame_base, *seg_flat):
+                arena = _execute_tape(tape, arena, header_map, frame_base, seg_flat=seg_flat)
                 return _scatter_outputs(tape, arena, header_map, frame_base, outputs_map)
 
             if self.batch:
-                step = jax.vmap(step, in_axes=(0, None, None, None))
+                step = jax.vmap(
+                    step, in_axes=(0, None, None, None) + (None,) * n_seg_args
+                )
             fn = jax.jit(step, donate_argnums=(0,))
         elif mode == "garble":
 
-            def step(arena, header_map, outputs_map, frame_base, delta, gid_hi, gid_lo):
+            def step(arena, header_map, outputs_map, frame_base, delta, gid_hi, gid_lo, *seg_flat):
                 arena, cts = _garble_tape(
-                    tape, arena, header_map, frame_base, delta, gid_hi, gid_lo
+                    tape, arena, header_map, frame_base, delta, gid_hi, gid_lo,
+                    hasher=self.hasher, seg_flat=seg_flat,
                 )
                 arena = _scatter_outputs(tape, arena, header_map, frame_base, outputs_map)
                 return arena, cts
 
             if self.batch:
-                step = jax.vmap(step, in_axes=(0, None, None, None, 0, None, None))
+                step = jax.vmap(
+                    step,
+                    in_axes=(0, None, None, None, 0, None, None) + (None,) * n_seg_args,
+                )
             fn = jax.jit(step, donate_argnums=(0,))
         elif mode == "evaluate":
 
-            def step(arena, bits, cts_in, header_map, outputs_map, frame_base, gid_hi, gid_lo):
+            def step(arena, bits, cts_in, header_map, outputs_map, frame_base, gid_hi, gid_lo, *seg_flat):
                 arena, bits = _evaluate_tape(
-                    tape, arena, bits, cts_in, header_map, frame_base, gid_hi, gid_lo
+                    tape, arena, bits, cts_in, header_map, frame_base, gid_hi, gid_lo,
+                    hasher=self.hasher, seg_flat=seg_flat,
                 )
                 src = _abs_idx(tape.out_ops, header_map, frame_base, tape.header_size)
                 om = jnp.asarray(outputs_map)
@@ -308,12 +386,21 @@ class PlanExecutor:
                 return arena, bits
 
             if self.batch:
-                step = jax.vmap(step, in_axes=(0, 0, 0, None, None, None, None, None))
+                step = jax.vmap(
+                    step,
+                    in_axes=(0, 0, 0, None, None, None, None, None) + (None,) * n_seg_args,
+                )
             fn = jax.jit(step, donate_argnums=(0, 1))
         else:
             raise ValueError(mode)
-        self._fns[key] = fn
-        return fn
+
+        seg_dev = self._seg_dev(tape)
+
+        def call(*args, _jfn=fn, _segs=seg_dev):
+            return _jfn(*args, *_segs)
+
+        self._fns[key] = call
+        return call
 
     def _copy_fn(self, n: int, mode: str):
         key = ("copy", n, mode)

@@ -88,11 +88,11 @@ class CircuitRunner:
     def gate_count(self) -> GateCount:
         return GateCount(self.template.hist)
 
-    def executor(self, batch: int | None = None) -> PlanExecutor:
-        ex = self._executors.get(batch)
+    def executor(self, batch: int | None = None, hasher: str = "aes") -> PlanExecutor:
+        ex = self._executors.get((batch, hasher))
         if ex is None:
-            ex = PlanExecutor(self.plan, batch=batch)
-            self._executors[batch] = ex
+            ex = PlanExecutor(self.plan, batch=batch, hasher=hasher)
+            self._executors[(batch, hasher)] = ex
         return ex
 
     # -- execute -------------------------------------------------------
@@ -116,6 +116,7 @@ class CircuitRunner:
         seed: int,
         ct_handler=None,
         input_labels: list[int] | None = None,
+        hasher: str = "aes",
     ) -> StreamingResult:
         """Garble one instance from a u64 seed (labels drawn in allocation
         order exactly like ``GarbleMode::new`` + input encoding)."""
@@ -123,7 +124,7 @@ class CircuitRunner:
         if input_labels is None:
             input_labels = [rng.issue_label0() for _ in range(self.n_inputs)]
         handler = ct_handler if ct_handler is not None else CollectHandler()
-        outw, _ = self.executor().garble(
+        outw, _ = self.executor(hasher=hasher).garble(
             words_from_int_array(input_labels),
             words_from_int(rng.delta),
             words_from_int(rng.false_label0),
@@ -174,10 +175,11 @@ class CircuitRunner:
         true_label: int,
         false_label: int,
         ct_source,
+        hasher: str = "aes",
     ) -> StreamingResult:
         labels = words_from_int_array([w.active_label for w in input_wires])
         bits = np.asarray([int(w.value) for w in input_wires], dtype=np.uint8)
-        outl, outv = self.executor().evaluate(
+        outl, outv = self.executor(hasher=hasher).evaluate(
             labels,
             bits,
             words_from_int(false_label),

@@ -41,7 +41,6 @@ from gsv_tpu.core.gate_types import (
     ALPHA_C,
     GateType,
     TRUTH_TABLE,
-    is_free,
 )
 from gsv_tpu.circuit.builder import FALSE_WIRE, TRUE_WIRE, Template
 from gsv_tpu.circuit.liveness import call_live_mask, wire_live
@@ -627,11 +626,15 @@ class Compiler:
 
         # lifetimes of parent-local wires over the step sequence
         n_steps = len(steps_raw)
-        last_read: dict[int, int] = {}
+        last_read_arr = np.full(template.n_wires, -1, dtype=np.int64)
         for si, (child, in_wires, _, _, _) in enumerate(steps_raw):
-            for w in in_wires:
-                if w >= N_SPECIAL:
-                    last_read[w] = si
+            iw = np.asarray(in_wires, dtype=np.int64)
+            if len(iw):
+                last_read_arr[iw] = si
+        last_read_arr[:N_SPECIAL] = -1
+        last_read = {
+            int(w): int(last_read_arr[w]) for w in np.nonzero(last_read_arr >= 0)[0]
+        }
         INF = 1 << 60
         first_internal = N_SPECIAL + template.n_inputs
         for pos, is_live in enumerate(live_out):
@@ -640,7 +643,7 @@ class Compiler:
                 last_read[w] = INF
 
         # linear scan: assign slots to wires written by steps
-        slot_of: dict[int, int] = {}
+        slot_of = np.full(template.n_wires, -1, dtype=np.int64)
         free_slots: list[int] = []
         expir: list[tuple[int, int]] = []
         frame_size = 0
@@ -648,25 +651,31 @@ class Compiler:
         scratch = 0
 
         def op_of(w: int) -> int:
-            if w < N_SPECIAL:
+            if w < header:
                 return w
-            if N_SPECIAL <= w < N_SPECIAL + template.n_inputs:
-                return w
-            return header + slot_of[w]
+            s_ = int(slot_of[w])
+            assert s_ >= 0, f"read of unwritten wire {w}"
+            return header + s_
+
+        def ops_of(ws) -> np.ndarray:
+            ws = np.asarray(ws, dtype=np.int64)
+            slots = slot_of[ws]
+            assert (slots[ws >= header] >= 0).all(), "read of unwritten wire"
+            return np.where(ws < header, ws, header + slots).astype(np.int32)
 
         for si, (child, in_wires, out_by_pos, g_off, c_off) in enumerate(steps_raw):
             while expir and expir[0][0] <= si:
                 _, s = heapq.heappop(expir)
                 heapq.heappush(free_slots, s)
-            input_ops = np.asarray([op_of(w) for w in in_wires], dtype=np.int32)
+            input_ops = ops_of(in_wires)
             out_slots = []
             for pos in child.out_positions:
                 w = out_by_pos[int(pos)]
                 if w < N_SPECIAL or not live[w]:
                     out_slots.append(-1)
                     continue
-                if w in slot_of:  # duplicated output position (same parent wire)
-                    out_slots.append(slot_of[w])
+                if slot_of[w] >= 0:  # duplicated output position (same parent wire)
+                    out_slots.append(int(slot_of[w]))
                     continue
                 if free_slots:
                     s = heapq.heappop(free_slots)
@@ -702,8 +711,8 @@ class Compiler:
         for pos, w in enumerate(template.outputs):
             if w < first_internal:
                 out_all[pos] = w  # const or input code
-            elif w in slot_of:
-                out_all[pos] = header + slot_of[w]
+            elif slot_of[w] >= 0:
+                out_all[pos] = header + int(slot_of[w])
         return SuperProgram(
             name=template.name,
             n_inputs=template.n_inputs,

@@ -22,3 +22,16 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# The plugin's lazy bind re-asserts jax_platforms="axon,cpu" mid-session,
+# which silently moves later tests onto the (single-tenant, tunneled) TPU and
+# deadlocks against any running bench.  Remove the axon backend factory
+# entirely so tests can never touch it.
+try:  # noqa: SIM105
+    from jax._src import xla_bridge as _xb
+
+    for _k in list(getattr(_xb, "_backend_factories", {})):
+        if "axon" in _k:
+            _xb._backend_factories.pop(_k, None)
+except Exception:
+    pass
