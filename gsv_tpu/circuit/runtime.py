@@ -19,23 +19,15 @@ different seeds) — the TPU analogue of the reference's rayon instance pool
 
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Persistent compilation cache: tapes recur across processes (tests, bench,
-# protocol runs) and XLA compiles dominate cold-start cost.
-_CACHE_DIR = os.environ.get(
-    "GSV_TPU_JIT_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "gsv_tpu_jit")
-)
-try:  # pragma: no cover - best effort
-    os.makedirs(_CACHE_DIR, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-except Exception:
-    pass
+# NOTE: do NOT enable jax's persistent compilation cache here.  In this
+# environment executables cross machine boundaries (tunnel remote-compile on
+# the terminal, local CPU host with different LLVM features), and cached AOT
+# artifacts poison later runs with machine-feature / libtpu-version
+# mismatches.  Compilation is cached per-process only.
 
 from gsv_tpu.circuit.link import CopyStep, Plan, TapeStep
 from gsv_tpu.circuit.tape import CompiledTape
