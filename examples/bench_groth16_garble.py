@@ -97,7 +97,52 @@ def main():
         else:
             deltas[:] = words_from_int(rng.delta)
 
-    print("warm-up (compiles every distinct tape)...", flush=True)
+    # -- threaded compile warm-up: remote compiles are IO-bound POSTs, so
+    # overlapping them across threads hides round-trip latency.  Each thread
+    # chains a donated dummy arena through its share of the distinct tapes
+    # (donation keeps HBM flat; values are garbage, only the jit cache
+    # matters).  Dedupe key matches PlanExecutor._fn's cache key.
+    from concurrent.futures import ThreadPoolExecutor
+
+    seen = set()
+    work = []
+    for st in plan.steps:
+        if isinstance(st, TapeStep) and st.tape.content_key not in seen:
+            seen.add(st.tape.content_key)
+            work.append(st)
+    threads = int(os.environ.get("GSV_COMPILE_THREADS", "6"))
+    print(f"compiling {len(work)} distinct tapes on {threads} threads...", flush=True)
+    t0 = time.time()
+
+    def worker(idx):
+        arena = jnp.zeros(shape, jnp.uint32)
+        d = jnp.asarray(deltas)
+        n = 0
+        for st in work[idx::threads]:
+            fn = ex._fn(st.tape, "garble")
+            arena, _cts = fn(
+                arena,
+                jnp.asarray(st.header_map),
+                jnp.asarray(st.outputs_map),
+                st.frame_base,
+                d,
+                jnp.uint32(st.gid_base >> 32),
+                jnp.uint32(st.gid_base & 0xFFFFFFFF),
+            )
+            n += 1
+            if n % 25 == 0:
+                print(
+                    f"  [t{idx}] {n}/{len(work[idx::threads])} tapes "
+                    f"({time.time()-t0:.0f}s)",
+                    flush=True,
+                )
+        jax.block_until_ready(arena)
+
+    with ThreadPoolExecutor(threads) as pool:
+        list(pool.map(worker, range(threads)))
+    print(f"compile warm-up done in {time.time()-t0:.0f}s", flush=True)
+
+    print("execution warm-up pass...", flush=True)
     t0 = time.time()
     _, ck = run_once(jnp.asarray(arenas), jnp.asarray(deltas))
     jax.block_until_ready(ck)

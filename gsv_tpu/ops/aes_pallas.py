@@ -1,0 +1,105 @@
+"""Pallas TPU kernel for the bitsliced fixed-key AES-128 gate hash.
+
+TPU-native counterpart of the reference's AES-NI module
+(``src/hashers/aes_ni.rs:39-216``): one grid step encrypts a VMEM-resident
+tile of bit planes with the tower-field S-box circuit, keeping all ten
+rounds' intermediates on-chip instead of round-tripping through HBM.  The
+boolean round function is shared with ``aes_jax.py`` (``aes_encrypt_planes``)
+— Pallas only changes *where* it runs: the whole 10-round dependency chain is
+fused into a single kernel, so HBM traffic is exactly one read + one write of
+the plane tensor.
+
+Layout: planes are ``(8, 16, m)`` uint32 (bit, byte-position, lane) with each
+lane packing 32 AES blocks (see ``aes_jax.pack_planes``).  The grid tiles the
+lane axis in ``LANE_TILE`` chunks (last dim multiple of 128 for VPU tiling);
+the (16, LANE_TILE) trailing shape maps directly onto (sublane, lane) tiles.
+
+``aes_encrypt_words_pallas`` is a drop-in for ``aes_jax.aes_encrypt_words``
+(pack/unpack stay in XLA — they are static bit-permutations that XLA fuses
+into the neighbouring gather/scatter); ``interpret=True`` runs the same
+kernel on CPU for tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsv_tpu.ops.aes_jax import (
+    _RK_MASKS,
+    _SHIFTROWS_SRC,
+    _mix_columns,
+    _sub_bytes,
+    pack_planes,
+    unpack_planes,
+)
+
+LANE_TILE = 512  # lanes per grid step; 512 * 32 blocks = 16,384 blocks/tile
+
+# Pallas kernels cannot capture array constants, so ShiftRows is a static
+# slice-stack (fixed permutation) and round keys arrive as a kernel input.
+_SR = [int(p) for p in _SHIFTROWS_SRC]
+
+
+def _shift_rows(s):
+    return jnp.stack([s[:, p, :] for p in _SR], axis=1)
+
+
+def _aes_tile_kernel(planes_ref, rk_ref, out_ref):
+    s = planes_ref[...]
+    rk = rk_ref[...]
+    s = s ^ rk[0][:, :, None]
+    for rnd in range(1, 10):
+        s = _sub_bytes(s, jnp)
+        s = _shift_rows(s)
+        s = _mix_columns(s, jnp)
+        s = s ^ rk[rnd][:, :, None]
+    s = _sub_bytes(s, jnp)
+    s = _shift_rows(s)
+    out_ref[...] = s ^ rk[10][:, :, None]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def aes_encrypt_planes_pallas(planes, interpret=False):
+    """Fixed-key AES-128 on (8, 16, m) bit planes as a Pallas kernel.
+
+    m must be a multiple of LANE_TILE (callers pad; each lane is 32 blocks).
+    """
+    from jax.experimental import pallas as pl
+
+    m = planes.shape[-1]
+    assert m % LANE_TILE == 0, m
+    grid = (m // LANE_TILE,)
+    spec = pl.BlockSpec((8, 16, LANE_TILE), lambda i: (0, 0, i))
+    rk_spec = pl.BlockSpec((11, 8, 16), lambda i: (0, 0, 0))
+    return pl.pallas_call(
+        _aes_tile_kernel,
+        grid=grid,
+        in_specs=[spec, rk_spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(planes.shape, jnp.uint32),
+        interpret=interpret,
+    )(planes, jnp.asarray(_RK_MASKS))
+
+
+def aes_encrypt_words_pallas(blocks, interpret=False):
+    """Fixed-key AES-128 ECB over (n, 4) uint32 word blocks via Pallas.
+
+    Pads the lane axis up to a LANE_TILE multiple (zero lanes are encrypted
+    and discarded — fixed key, so no data-dependent cost).
+    """
+    n = blocks.shape[0]
+    if n % 32 != 0:
+        raise ValueError("block count must be a multiple of 32 (pad first)")
+    planes = pack_planes(blocks, xp=jnp)
+    m = planes.shape[-1]
+    pad = (-m) % LANE_TILE
+    if pad:
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, pad)))
+    out = aes_encrypt_planes_pallas(planes, interpret=interpret)
+    if pad:
+        out = out[..., :m]
+    return unpack_planes(out, xp=jnp)

@@ -150,3 +150,21 @@ class TestU64Math:
         for i, x in enumerate(xs):
             want = (x * k) % 2**64
             assert (int(hi[i]) << 32) | int(lo[i]) == want
+
+
+def test_pallas_aes_matches_host():
+    """Pallas kernel (interpret mode on CPU) == host OpenSSL AES."""
+    import jax.numpy as jnp
+
+    from gsv_tpu.ops.aes_host import Aes128
+    from gsv_tpu.ops.aes_pallas import aes_encrypt_words_pallas
+
+    rng = np.random.default_rng(7)
+    blocks = rng.integers(0, 2**32, size=(64, 4), dtype=np.uint32)
+    got = np.asarray(aes_encrypt_words_pallas(jnp.asarray(blocks), interpret=True))
+    aes = Aes128(bytes([0x42] * 16))
+    for i in range(blocks.shape[0]):
+        inp = b"".join(int(w).to_bytes(4, "big") for w in blocks[i])
+        want = aes.encrypt_block(inp)
+        have = b"".join(int(w).to_bytes(4, "big") for w in got[i])
+        assert have == want, i

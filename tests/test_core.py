@@ -186,3 +186,13 @@ class TestRng:
 
     def test_instances_differ(self):
         assert GarblerRng(1).delta != GarblerRng(2).delta
+
+
+def test_hw_detection_and_logging():
+    from gsv_tpu.core.hw import check_hashing_backend, host_aes_available
+    from gsv_tpu.core.logging import init_tracing
+
+    init_tracing()
+    assert host_aes_available()  # cryptography is baked into this image
+    s = check_hashing_backend()
+    assert "host_aes=openssl" in s
