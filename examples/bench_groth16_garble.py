@@ -30,10 +30,13 @@ def main():
     from gsv_tpu.models.groth16_verifier import Groth16VerifierModel
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    flatten_max = int(sys.argv[2]) if len(sys.argv) > 2 else (1 << 23)
     print("devices:", jax.devices(), flush=True)
 
     vk, proof, publics = dummy_proof(k=6, seed=0)
-    model = Groth16VerifierModel(vk=vk, n_public=len(publics), compressed=False)
+    model = Groth16VerifierModel(
+        vk=vk, n_public=len(publics), compressed=False, flatten_max=flatten_max
+    )
     t0 = time.time()
     runner = model.runner  # trace + compile + link
     total = runner.template.total_gates
@@ -110,8 +113,13 @@ def main():
         if isinstance(st, TapeStep) and st.tape.content_key not in seen:
             seen.add(st.tape.content_key)
             work.append(st)
-    threads = int(os.environ.get("GSV_COMPILE_THREADS", "6"))
-    print(f"compiling {len(work)} distinct tapes on {threads} threads...", flush=True)
+    distinct_gates = sum(st.tape.total_gates for st in work)
+    threads = int(os.environ.get("GSV_COMPILE_THREADS", "4"))
+    print(
+        f"compiling {len(work)} distinct tapes ({distinct_gates/1e6:.0f}M distinct "
+        f"gates) on {threads} threads...",
+        flush=True,
+    )
     t0 = time.time()
 
     def worker(idx):
@@ -119,6 +127,7 @@ def main():
         d = jnp.asarray(deltas)
         n = 0
         for st in work[idx::threads]:
+            ts = time.time()
             fn = ex._fn(st.tape, "garble")
             arena, _cts = fn(
                 arena,
@@ -130,10 +139,12 @@ def main():
                 jnp.uint32(st.gid_base & 0xFFFFFFFF),
             )
             n += 1
-            if n % 25 == 0:
+            if n <= 3 or n % 5 == 0:
+                jax.block_until_ready(arena)
                 print(
                     f"  [t{idx}] {n}/{len(work[idx::threads])} tapes "
-                    f"({time.time()-t0:.0f}s)",
+                    f"(last {st.tape.total_gates/1e6:.2f}M gates in "
+                    f"{time.time()-ts:.1f}s; total {time.time()-t0:.0f}s)",
                     flush=True,
                 )
         jax.block_until_ready(arena)

@@ -118,16 +118,26 @@ class TraceCtx:
         "_runs",
         "_calls",
         "_run_start",
+        "depth",
     )
 
     FALSE = FALSE_WIRE
     TRUE = TRUE_WIRE
 
-    def __init__(self, cache: TemplateCache, name: str, key: Any, n_inputs: int):
+    # Nesting guard: real gadget stacks are < 30 deep (Groth16) and the
+    # reference's own stress test is 1000; hitting thousands almost always
+    # means an int parameter that should have been declared ``offcircuit``
+    # is being folded into a never-hitting cache key (infinite self-trace).
+    MAX_DEPTH = 5000
+
+    def __init__(
+        self, cache: TemplateCache, name: str, key: Any, n_inputs: int, depth: int = 0
+    ):
         self.cache = cache
         self.name = name
         self._key = key
         self._n_inputs = n_inputs
+        self.depth = depth
         self._next_wire = _FIRST_INPUT + n_inputs
         self._gt: list[int] = []
         self._ga: list[int] = []
@@ -215,7 +225,16 @@ class TraceCtx:
         """
         template = self.cache.get(key)
         if template is None:
-            child_ctx = TraceCtx(self.cache, name, key, len(input_wires))
+            if self.depth >= self.MAX_DEPTH:
+                raise RecursionError(
+                    f"component nesting exceeded {self.MAX_DEPTH} at "
+                    f"{name!r} — is a host-side parameter (e.g. a depth or "
+                    f"length int) missing from the component's `offcircuit` "
+                    f"list, so recursion never changes the cache key?"
+                )
+            child_ctx = TraceCtx(
+                self.cache, name, key, len(input_wires), depth=self.depth + 1
+            )
             child_inputs = list(range(_FIRST_INPUT, _FIRST_INPUT + len(input_wires)))
             out_ids, out_treedef = body(child_ctx, child_inputs)
             template = child_ctx.finish(out_ids, out_treedef)
@@ -352,6 +371,14 @@ def trace_circuit(fn: Callable, n_inputs: int, cache: TemplateCache | None = Non
     ``fn(ctx, input_wires: list[int]) -> wire structure`` — the root closure
     (the reference's ``f`` in ``run_streaming``).  Returns (template, cache).
     """
+    # Deeply nested components (the reference exercises 1000 levels,
+    # circuit/mod.rs:604-835) recurse through Python frames at trace time;
+    # lift the interpreter limit so gadget depth, not CPython, is the bound.
+    import sys
+
+    if sys.getrecursionlimit() < 100_000:
+        sys.setrecursionlimit(100_000)
+
     cache = cache or TemplateCache()
     root_ctx = TraceCtx(cache, "<root>", key=("<root>",), n_inputs=n_inputs)
     inputs = list(range(_FIRST_INPUT, _FIRST_INPUT + n_inputs))

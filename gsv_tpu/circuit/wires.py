@@ -41,46 +41,83 @@ def flatten_wires(obj: Any) -> tuple[list[int], Any]:
     """Flatten a wire structure -> (flat wire-id list, treedef).
 
     The treedef is an opaque structure usable with ``unflatten_wires``.
+    Iterative (explicit stack): deeply nested component outputs exceed
+    CPython 3.12's C-recursion guard, which ``sys.setrecursionlimit``
+    cannot lift.
     """
     flat: list[int] = []
 
-    def go(o: Any):
+    def enter(o: Any):
+        """Leaf -> final treedef tuple; container -> open frame (a list)."""
         if isinstance(o, bool):
             raise TypeError("bool is not a wire; encode constants via ctx constants")
         if isinstance(o, int):
             flat.append(o)
             return ("w",)
         if isinstance(o, (list, tuple)):
-            defs = [go(c) for c in o]
-            return ("l" if isinstance(o, list) else "t", defs)
+            return ["l" if isinstance(o, list) else "t", list(o), []]
         if _is_container(o):
             children, aux = o.wires_flatten()
-            defs = [go(c) for c in children]
-            return ("c", type(o), aux, defs)
+            return ["c", type(o), aux, list(children), []]
         raise TypeError(f"not a wire structure: {type(o)!r}")
 
-    treedef = go(obj)
-    return flat, treedef
+    first = enter(obj)
+    if isinstance(first, tuple):
+        return flat, first
+    stack = [first]
+    while True:
+        fr = stack[-1]
+        pending = fr[1] if fr[0] != "c" else fr[3]
+        defs = fr[2] if fr[0] != "c" else fr[4]
+        if len(defs) < len(pending):
+            nxt = enter(pending[len(defs)])
+            if isinstance(nxt, tuple):
+                defs.append(nxt)
+            else:
+                stack.append(nxt)
+            continue
+        td = ("c", fr[1], fr[2], defs) if fr[0] == "c" else (fr[0], defs)
+        stack.pop()
+        if not stack:
+            return flat, td
+        parent = stack[-1]
+        (parent[2] if parent[0] != "c" else parent[4]).append(td)
 
 
 def unflatten_wires(treedef: Any, flat: list[int]) -> Any:
-    """Rebuild a wire structure from a treedef and a flat wire list."""
+    """Rebuild a wire structure from a treedef and a flat wire list.
+
+    Iterative for the same deep-nesting reason as ``flatten_wires``.
+    """
     it = iter(flat)
 
-    def go(td):
-        kind = td[0]
-        if kind == "w":
-            return next(it)
-        if kind in ("l", "t"):
-            vals = [go(d) for d in td[1]]
-            return vals if kind == "l" else tuple(vals)
-        if kind == "c":
-            _, cls, aux, defs = td
-            children = [go(d) for d in defs]
-            return cls.wires_unflatten(aux, children)
-        raise AssertionError(kind)
+    def build(td, vals):
+        if td[0] == "l":
+            return vals
+        if td[0] == "t":
+            return tuple(vals)
+        return td[1].wires_unflatten(td[2], vals)
 
-    out = go(treedef)
+    if treedef[0] == "w":
+        out = next(it)
+    else:
+        stack = [(treedef, [])]
+        while True:
+            td, vals = stack[-1]
+            kids = td[1] if td[0] in ("l", "t") else td[3]
+            if len(vals) < len(kids):
+                k = kids[len(vals)]
+                if k[0] == "w":
+                    vals.append(next(it))
+                else:
+                    stack.append((k, []))
+                continue
+            built = build(td, vals)
+            stack.pop()
+            if not stack:
+                out = built
+                break
+            stack[-1][1].append(built)
     rest = list(it)
     if rest:
         raise ValueError(f"{len(rest)} unconsumed wires during unflatten")
@@ -88,14 +125,20 @@ def unflatten_wires(treedef: Any, flat: list[int]) -> Any:
 
 
 def count_wires(treedef: Any) -> int:
-    kind = treedef[0]
-    if kind == "w":
-        return 1
-    if kind in ("l", "t"):
-        return sum(count_wires(d) for d in treedef[1])
-    if kind == "c":
-        return sum(count_wires(d) for d in treedef[3])
-    raise AssertionError(kind)
+    total = 0
+    stack = [treedef]
+    while stack:
+        td = stack.pop()
+        kind = td[0]
+        if kind == "w":
+            total += 1
+        elif kind in ("l", "t"):
+            stack.extend(td[1])
+        elif kind == "c":
+            stack.extend(td[3])
+        else:
+            raise AssertionError(kind)
+    return total
 
 
 def param_key_bytes(value: Any) -> bytes:

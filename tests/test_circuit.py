@@ -230,3 +230,65 @@ class TestDeadGates:
         plan = link(Compiler().compile(tmpl), 2)
         assert plan.ct_count == 1
         assert plan.total_gates == 2
+
+
+class TestNesting:
+    """Streaming-context invariants (reference circuit/mod.rs:604-835):
+    deep nesting, sibling isolation, constants visible at every depth."""
+
+    def test_deep_nesting(self):
+        # Reference invariant: 1000-deep component nesting traces fine
+        # (circuit/mod.rs:604-835).  `depth` must be an off-circuit param so
+        # each level gets its own template key.
+        @component(offcircuit=("depth",))
+        def wrap(ctx, a, depth):
+            if depth == 0:
+                return ctx.xor(a, ctx.TRUE)
+            return wrap(ctx, a, depth=depth - 1)
+
+        def circ(ctx, ins):
+            return [wrap(ctx, ins[0], depth=1000)]
+
+        tmpl, _ = trace_circuit(circ, 1)
+        plan = link(Compiler(flatten_max=1 << 20).compile(tmpl), 1)
+        ex = PlanExecutor(plan)
+        for bit in (0, 1):
+            out = ex.execute(np.array([bit], dtype=np.uint8))
+            assert int(out[0]) == bit ^ 1
+
+    def test_runaway_recursion_diagnosed(self):
+        """An int param that should be offcircuit -> clear RecursionError
+        instead of a 100k-frame interpreter blowup."""
+
+        @component
+        def bad(ctx, a, depth):
+            if depth == 0:
+                return ctx.xor(a, ctx.TRUE)
+            return bad(ctx, a, depth=depth - 1)
+
+        def circ(ctx, ins):
+            return [bad(ctx, ins[0], depth=3)]
+
+        with pytest.raises(RecursionError, match="offcircuit"):
+            trace_circuit(circ, 1)
+
+    def test_sibling_component_isolation(self):
+        """Two sibling calls of one template get distinct frames: outputs
+        must not alias even though the compiled tape is shared."""
+
+        @component
+        def pair(ctx, a, b):
+            return ctx.and_(a, b), ctx.xor(a, b)
+
+        def circ(ctx, ins):
+            x0, x1 = pair(ctx, ins[0], ins[1])
+            y0, y1 = pair(ctx, ins[2], ins[3])
+            return [x0, x1, y0, y1]
+
+        tmpl, _ = trace_circuit(circ, 4)
+        plan = link(Compiler(flatten_max=1 << 20).compile(tmpl), 4)
+        ex = PlanExecutor(plan)
+        for bits in product((0, 1), repeat=4):
+            out = ex.execute(np.array(bits, dtype=np.uint8))
+            a, b, c, d = bits
+            assert list(out) == [a & b, a ^ b, c & d, c ^ d], bits
