@@ -108,16 +108,36 @@ def main():
     from concurrent.futures import ThreadPoolExecutor
 
     seen = set()
-    work = []
+    distinct = []
     for st in plan.steps:
         if isinstance(st, TapeStep) and st.tape.content_key not in seen:
             seen.add(st.tape.content_key)
-            work.append(st)
-    distinct_gates = sum(st.tape.total_gates for st in work)
+            distinct.append(st)
+    distinct_gates = sum(st.tape.total_gates for st in distinct)
+
+    # The generic executors key XLA compilation on shape signature alone, so
+    # warm-calling ONE representative tape per signature compiles everything.
+    def sig(st):
+        t = st.tape
+        return (
+            t.header_size,
+            t.ct_count,
+            len(t.out_ops),
+            len(st.header_map),
+            len(st.outputs_map),
+            tuple((s.n_waves, s.cf, s.cn) for s in t.segments),
+        )
+
+    t0 = time.time()
+    sigs = {}
+    for st in distinct:
+        sigs.setdefault(sig(st), st)
+    work = list(sigs.values())
     threads = int(os.environ.get("GSV_COMPILE_THREADS", "4"))
     print(
-        f"compiling {len(work)} distinct tapes ({distinct_gates/1e6:.0f}M distinct "
-        f"gates) on {threads} threads...",
+        f"{len(distinct)} distinct tapes ({distinct_gates/1e6:.0f}M distinct gates) "
+        f"-> {len(work)} shape signatures (sig scan {time.time()-t0:.0f}s); "
+        f"compiling on {threads} threads...",
         flush=True,
     )
     t0 = time.time()

@@ -1,15 +1,24 @@
 """Vectorized plan execution on JAX (CPU or TPU): Execute / Garble / Evaluate.
 
-Each ``CompiledTape`` becomes one jitted function that replays its wave
-schedule as dense label algebra against the global slot arena:
+Each ``CompiledTape`` is replayed by a **generic** jitted step function that
+derives every static (wave counts, lane widths, header size, ciphertext
+count) from its argument shapes:
 
 - free gates: one gather + XOR + scatter over ``(w, 4)`` uint32 labels
   (Free-XOR, ``halfgates_garbling.rs:14-16``)
 - AND-variants: batched fixed-key bitsliced AES over ``2w`` blocks
   (garble: hash both a-labels; evaluate: hash the single active a-label),
-  alpha-parameter selects as constant masks, ciphertexts scattered into the
+  alpha-parameter selects as runtime masks, ciphertexts scattered into the
   stream slot given by their program-order rank
   (``halfgates_garbling.rs:17-69``)
+
+There is ONE ``jax.jit`` object per (mode, hasher, batch); tape content
+(operand/slot/mask streams) arrives as runtime arguments, so two
+structurally identical tapes — same segment shapes — share one XLA
+compilation even when their streams differ.  This matters doubly here:
+compilations go through a remote-compile service (one round trip each), and
+the ~1.3k distinct tapes of the Groth16 verifier collapse to far fewer
+distinct shape signatures.
 
 The arena is donated between steps so XLA updates it in place.  An optional
 leading batch axis vectorizes whole cut-and-choose instances (same plan,
@@ -57,12 +66,7 @@ def _gate_hash1(labels, hi, lo, hasher):
     return blake3_hash_words(labels, hi, lo, xp=jnp)
 
 
-def _mask32(bits_u8: np.ndarray) -> np.ndarray:
-    """0/1 uint8 per gate -> (w, 1) uint32 0/0xFFFFFFFF mask constant."""
-    return (np.asarray(bits_u8, dtype=np.uint32) * np.uint32(0xFFFFFFFF))[:, None]
-
-
-def _abs_idx(op_codes: np.ndarray, header_map, frame_base, H: int):
+def _abs_idx(op_codes, header_map, frame_base, H: int):
     ops = jnp.asarray(op_codes)
     hdr = header_map[jnp.clip(ops, 0, H - 1)]
     return jnp.where(ops < H, hdr, frame_base + ops - H)
@@ -76,7 +80,7 @@ def _pad32(blocks):
     return blocks, n
 
 
-def _local_gid64(gid_base_hi, gid_base_lo, local: np.ndarray):
+def _local_gid64(gid_base_hi, gid_base_lo, local):
     lo = gid_base_lo + jnp.asarray(local, dtype=jnp.uint32)
     carry = (lo < gid_base_lo).astype(jnp.uint32)
     hi = gid_base_hi + carry
@@ -84,14 +88,14 @@ def _local_gid64(gid_base_hi, gid_base_lo, local: np.ndarray):
 
 
 # ----------------------------------------------------------------------
-# Per-tape step functions (single instance; batching via jax.vmap)
+# Segment argument marshalling
 # ----------------------------------------------------------------------
 
-
-
-# Per-segment arrays in a fixed order so tape programs can take them as
-# runtime arguments instead of embedded HLO constants (keeps programs small
-# for the remote-compile service and dedupes memory across instances).
+# Per-segment arrays as a dict pytree so tape programs take them as runtime
+# arguments rather than embedded HLO constants — keeps programs small for
+# the remote-compile service, dedupes device memory across instances, and
+# (because all statics derive from shapes) lets structurally identical
+# tapes share one compilation.
 _SEG_FIELDS = (
     "f_a", "f_b", "f_c", "f_bmask", "f_flip",
     "n_a", "n_b", "n_c", "n_gid", "n_ct", "n_aa", "n_ab", "n_ac", "n_tt",
@@ -99,22 +103,8 @@ _SEG_FIELDS = (
 
 
 def seg_arg_list(tape: CompiledTape) -> list:
-    out = []
-    for seg in tape.segments:
-        for f in _SEG_FIELDS:
-            out.append(getattr(seg, f))
-    return out
-
-
-def _seg_views(tape: CompiledTape, seg_flat):
-    """Group a flat arg list back into per-segment dicts; None -> constants."""
-    if seg_flat is None:
-        return [
-            {f: jnp.asarray(getattr(seg, f)) for f in _SEG_FIELDS}
-            for seg in tape.segments
-        ]
-    it = iter(seg_flat)
-    return [{f: next(it) for f in _SEG_FIELDS} for _ in tape.segments]
+    """Segments as a list of field dicts (a jit-able pytree)."""
+    return [{f: getattr(seg, f) for f in _SEG_FIELDS} for seg in tape.segments]
 
 
 def _m32(x):
@@ -126,7 +116,7 @@ _TRASH = 2  # absolute arena index for discarded writes (link.py layout)
 
 
 def _row(arr, i):
-    """Row i of a (n, c) constant array inside a fori_loop body."""
+    """Row i of a (n, c) array inside a fori_loop body."""
     return jax.lax.dynamic_index_in_dim(arr, i, axis=0, keepdims=False)
 
 
@@ -135,16 +125,26 @@ def _dst_idx(c_slots, frame_base):
     return jnp.where(c_slots < 0, _TRASH, frame_base + c_slots)
 
 
-def _execute_tape(tape: CompiledTape, arena, header_map, frame_base, seg_flat=None):
+# ----------------------------------------------------------------------
+# Generic per-tape step bodies (single instance; batching via jax.vmap).
+# All statics (wave counts, lane widths cf/cn, header size H, ct count)
+# come from argument SHAPES, so one traced program serves every tape with
+# the same shape signature.
+# ----------------------------------------------------------------------
+
+
+def _execute_segs(arena, header_map, frame_base, segs):
     """Boolean execution: arena is (A,) uint8; one fori_loop per segment."""
-    H = tape.header_size
-    for seg, sv in zip(tape.segments, _seg_views(tape, seg_flat)):
+    H = header_map.shape[0]
+    for sv in segs:
         fa, fb, fc = sv["f_a"], sv["f_b"], sv["f_c"]
         fbm, ffl = sv["f_bmask"], sv["f_flip"]
         na, nb, nc = sv["n_a"], sv["n_b"], sv["n_c"]
         ntt = sv["n_tt"]
+        n_waves, cf = fa.shape
+        cn = na.shape[1]
 
-        def body(i, arena, fa=fa, fb=fb, fc=fc, fbm=fbm, ffl=ffl, na=na, nb=nb, nc=nc, ntt=ntt, cf=seg.cf, cn=seg.cn):
+        def body(i, arena, fa=fa, fb=fb, fc=fc, fbm=fbm, ffl=ffl, na=na, nb=nb, nc=nc, ntt=ntt, cf=cf, cn=cn):
             if cf:
                 a = arena[_abs_idx(_row(fa, i), header_map, frame_base, H)]
                 b = arena[_abs_idx(_row(fb, i), header_map, frame_base, H)]
@@ -158,23 +158,20 @@ def _execute_tape(tape: CompiledTape, arena, header_map, frame_base, seg_flat=No
                 arena = arena.at[_dst_idx(_row(nc, i), frame_base)].set(out)
             return arena
 
-        if seg.n_waves == 1:
+        if n_waves == 1:
             arena = body(0, arena)
         else:
-            arena = jax.lax.fori_loop(0, seg.n_waves, body, arena)
+            arena = jax.lax.fori_loop(0, n_waves, body, arena)
     return arena
 
 
-def _garble_tape(tape: CompiledTape, arena, header_map, frame_base, delta, gid_hi, gid_lo, hasher="aes", seg_flat=None):
-    """Half-gates garbling: arena (A, 4) uint32 of label0s; returns cts.
-
-    The ciphertext buffer has one trailing trash row (index ct_count) that
-    absorbs padded-lane scatters; it is sliced off at the end.
+def _garble_segs(arena, cts, header_map, frame_base, delta, gid_hi, gid_lo, segs, hasher="aes"):
+    """Half-gates garbling.  ``cts`` is a zeroed (ct_count + 1, 4) buffer —
+    the trailing trash row absorbs padded-lane scatters and is sliced off.
     """
-    H = tape.header_size
-    cts = jnp.zeros((tape.ct_count + 1, 4), jnp.uint32)
+    H = header_map.shape[0]
     d1 = delta[None, :]
-    for seg, sv in zip(tape.segments, _seg_views(tape, seg_flat)):
+    for sv in segs:
         fa, fb, fc = sv["f_a"], sv["f_b"], sv["f_c"]
         fbm = _m32(sv["f_bmask"])
         ffl = _m32(sv["f_flip"])
@@ -183,10 +180,12 @@ def _garble_tape(tape: CompiledTape, arena, header_map, frame_base, delta, gid_h
         aam = _m32(sv["n_aa"])
         abm = _m32(sv["n_ab"])
         acm = _m32(sv["n_ac"])
+        n_waves, cf = fa.shape
+        cn = na.shape[1]
 
         def body(i, carry, fa=fa, fb=fb, fc=fc, fbm=fbm, ffl=ffl, na=na, nb=nb,
                  nc=nc, ngid=ngid, nct=nct, aam=aam, abm=abm, acm=acm,
-                 cf=seg.cf, cn=seg.cn):
+                 cf=cf, cn=cn):
             arena, cts = carry
             if cf:
                 a = arena[_abs_idx(_row(fa, i), header_map, frame_base, H)]
@@ -208,25 +207,23 @@ def _garble_tape(tape: CompiledTape, arena, header_map, frame_base, delta, gid_h
                 cts = cts.at[_row(nct, i)].set(ct)
             return arena, cts
 
-        if seg.n_waves == 1:
+        if n_waves == 1:
             arena, cts = body(0, (arena, cts))
         else:
-            arena, cts = jax.lax.fori_loop(0, seg.n_waves, body, (arena, cts))
-    return arena, cts[: tape.ct_count]
+            arena, cts = jax.lax.fori_loop(0, n_waves, body, (arena, cts))
+    return arena, cts[:-1]
 
 
-def _evaluate_tape(
-    tape: CompiledTape, arena, bits, cts_in, header_map, frame_base, gid_hi, gid_lo,
-    hasher="aes", seg_flat=None,
-):
+def _evaluate_segs(arena, bits, cts_in, header_map, frame_base, gid_hi, gid_lo, segs, hasher="aes"):
     """Half-gates evaluation: arena (A, 4) active labels + bits (A,) uint8.
 
     One AES block per non-free gate; the evaluate AES batch is cn lanes, so
     classes being multiples of 16 means a cn=16 segment pads to 32 blocks
     inside ``_pad32``.
     """
-    H = tape.header_size
-    for seg, sv in zip(tape.segments, _seg_views(tape, seg_flat)):
+    H = header_map.shape[0]
+    max_ct = max(cts_in.shape[0] - 1, 0)
+    for sv in segs:
         fa, fb, fc = sv["f_a"], sv["f_b"], sv["f_c"]
         fbm = _m32(sv["f_bmask"])
         fbm1 = sv["f_bmask"]
@@ -234,11 +231,12 @@ def _evaluate_tape(
         na, nb, nc = sv["n_a"], sv["n_b"], sv["n_c"]
         ngid, nct = sv["n_gid"], sv["n_ct"]
         naa, ntt = sv["n_aa"], sv["n_tt"]
-        max_ct = max(tape.ct_count - 1, 0)
+        n_waves, cf = fa.shape
+        cn = na.shape[1]
 
         def body(i, carry, fa=fa, fb=fb, fc=fc, fbm=fbm, fbm1=fbm1, ffl=ffl,
                  na=na, nb=nb, nc=nc, ngid=ngid, nct=nct, naa=naa, ntt=ntt,
-                 cf=seg.cf, cn=seg.cn, max_ct=max_ct):
+                 cf=cf, cn=cn):
             arena, bits = carry
             if cf:
                 ai = _abs_idx(_row(fa, i), header_map, frame_base, H)
@@ -267,23 +265,84 @@ def _evaluate_tape(
                 bits = bits.at[ci].set(out_v)
             return arena, bits
 
-        if seg.n_waves == 1:
+        if n_waves == 1:
             arena, bits = body(0, (arena, bits))
         else:
-            arena, bits = jax.lax.fori_loop(0, seg.n_waves, body, (arena, bits))
+            arena, bits = jax.lax.fori_loop(0, n_waves, body, (arena, bits))
     return arena, bits
 
 
-# ----------------------------------------------------------------------
-# Output scatter shared by modes
-# ----------------------------------------------------------------------
-
-
-def _scatter_outputs(tape: CompiledTape, arena, header_map, frame_base, outputs_map):
-    if len(tape.out_ops) == 0:
+def _scatter_outputs(arena, header_map, frame_base, outputs_map, out_ops):
+    if out_ops.shape[0] == 0:
         return arena
-    src = _abs_idx(tape.out_ops, header_map, frame_base, tape.header_size)
-    return arena.at[jnp.asarray(outputs_map)].set(arena[src])
+    src = _abs_idx(out_ops, header_map, frame_base, header_map.shape[0])
+    return arena.at[outputs_map].set(arena[src])
+
+
+# ----------------------------------------------------------------------
+# Module-level generic jit cache: ONE jit object per (mode, hasher, batch)
+# shared by every PlanExecutor in the process; XLA's aval cache then keys
+# compilations by shape signature only.
+# ----------------------------------------------------------------------
+
+_GENERIC_JITS: dict = {}
+
+
+def _generic_jit(mode: str, hasher: str, batch: int | None):
+    key = (mode, hasher, batch)
+    fn = _GENERIC_JITS.get(key)
+    if fn is not None:
+        return fn
+
+    if mode == "execute":
+
+        def step(arena, header_map, outputs_map, out_ops, frame_base, segs):
+            arena = _execute_segs(arena, header_map, frame_base, segs)
+            return _scatter_outputs(arena, header_map, frame_base, outputs_map, out_ops)
+
+        if batch:
+            step = jax.vmap(step, in_axes=(0, None, None, None, None, None))
+        fn = jax.jit(step, donate_argnums=(0,))
+    elif mode == "garble":
+
+        def step(arena, cts_buf, header_map, outputs_map, out_ops, frame_base,
+                 delta, gid_hi, gid_lo, segs):
+            arena, cts = _garble_segs(
+                arena, cts_buf, header_map, frame_base, delta, gid_hi, gid_lo,
+                segs, hasher=hasher,
+            )
+            arena = _scatter_outputs(arena, header_map, frame_base, outputs_map, out_ops)
+            return arena, cts
+
+        if batch:
+            step = jax.vmap(
+                step, in_axes=(0, 0, None, None, None, None, 0, None, None, None)
+            )
+        fn = jax.jit(step, donate_argnums=(0, 1))
+    elif mode == "evaluate":
+
+        def step(arena, bits, cts_in, header_map, outputs_map, out_ops,
+                 frame_base, gid_hi, gid_lo, segs):
+            arena, bits = _evaluate_segs(
+                arena, bits, cts_in, header_map, frame_base, gid_hi, gid_lo,
+                segs, hasher=hasher,
+            )
+            if out_ops.shape[0]:
+                src = _abs_idx(out_ops, header_map, frame_base, header_map.shape[0])
+                arena = arena.at[outputs_map].set(arena[src])
+                bits = bits.at[outputs_map].set(bits[src])
+            return arena, bits
+
+        if batch:
+            step = jax.vmap(
+                step, in_axes=(0, 0, 0, None, None, None, None, None, None, None)
+            )
+        fn = jax.jit(step, donate_argnums=(0, 1))
+    else:
+        raise ValueError(mode)
+
+    _GENERIC_JITS[key] = fn
+    return fn
 
 
 # ----------------------------------------------------------------------
@@ -294,9 +353,10 @@ def _scatter_outputs(tape: CompiledTape, arena, header_map, frame_base, outputs_
 class PlanExecutor:
     """Runs a linked Plan in one of the three modes.
 
-    Jitted step functions are cached per (tape id, mode) — every instance and
-    every step reusing a tape shares one compilation.  Progress is logged
-    every 50M gates (``gsv_tpu.core.progress``) for the monitor scripts.
+    Per-tape wrappers are cached per (tape content, mode, hasher); the
+    underlying jitted programs are shared per shape signature (see module
+    docstring).  Progress is logged every 50M gates
+    (``gsv_tpu.core.progress``) for the monitor scripts.
     """
 
     def __init__(
@@ -318,14 +378,18 @@ class PlanExecutor:
 
         return ProgressLogger(phase, instance=self.instance)
 
-    # -- jit caches ----------------------------------------------------
+    # -- per-tape wrappers ---------------------------------------------
 
-    def _seg_dev(self, tape: CompiledTape) -> list:
-        """Device-resident segment arrays, uploaded once per distinct tape."""
+    def _seg_dev(self, tape: CompiledTape) -> tuple:
+        """Device-resident segment arrays + out_ops, uploaded once per
+        distinct tape."""
         key = ("segs", tape.content_key)
         dev = self._fns.get(key)
         if dev is None:
-            dev = [jnp.asarray(a) for a in seg_arg_list(tape)]
+            segs = [
+                {f: jnp.asarray(v) for f, v in d.items()} for d in seg_arg_list(tape)
+            ]
+            dev = (segs, jnp.asarray(tape.out_ops))
             self._fns[key] = dev
         return dev
 
@@ -334,62 +398,41 @@ class PlanExecutor:
         fn = self._fns.get(key)
         if fn is not None:
             return fn
-        n_seg_args = len(tape.segments) * len(_SEG_FIELDS)
+        segs_dev, out_ops_dev = self._seg_dev(tape)
+        jfn = _generic_jit(mode, self.hasher, self.batch)
 
         if mode == "execute":
 
-            def step(arena, header_map, outputs_map, frame_base, *seg_flat):
-                arena = _execute_tape(tape, arena, header_map, frame_base, seg_flat=seg_flat)
-                return _scatter_outputs(tape, arena, header_map, frame_base, outputs_map)
+            def call(arena, header_map, outputs_map, frame_base,
+                     _j=jfn, _s=segs_dev, _o=out_ops_dev):
+                return _j(arena, header_map, outputs_map, _o, frame_base, _s)
 
-            if self.batch:
-                step = jax.vmap(
-                    step, in_axes=(0, None, None, None) + (None,) * n_seg_args
-                )
-            fn = jax.jit(step, donate_argnums=(0,))
         elif mode == "garble":
+            ct_shape = (
+                (self.batch, tape.ct_count + 1, 4)
+                if self.batch
+                else (tape.ct_count + 1, 4)
+            )
 
-            def step(arena, header_map, outputs_map, frame_base, delta, gid_hi, gid_lo, *seg_flat):
-                arena, cts = _garble_tape(
-                    tape, arena, header_map, frame_base, delta, gid_hi, gid_lo,
-                    hasher=self.hasher, seg_flat=seg_flat,
+            def call(arena, header_map, outputs_map, frame_base, delta, gid_hi,
+                     gid_lo, _j=jfn, _s=segs_dev, _o=out_ops_dev, _cs=ct_shape):
+                cts_buf = jnp.zeros(_cs, jnp.uint32)
+                return _j(
+                    arena, cts_buf, header_map, outputs_map, _o, frame_base,
+                    delta, gid_hi, gid_lo, _s,
                 )
-                arena = _scatter_outputs(tape, arena, header_map, frame_base, outputs_map)
-                return arena, cts
 
-            if self.batch:
-                step = jax.vmap(
-                    step,
-                    in_axes=(0, None, None, None, 0, None, None) + (None,) * n_seg_args,
-                )
-            fn = jax.jit(step, donate_argnums=(0,))
         elif mode == "evaluate":
 
-            def step(arena, bits, cts_in, header_map, outputs_map, frame_base, gid_hi, gid_lo, *seg_flat):
-                arena, bits = _evaluate_tape(
-                    tape, arena, bits, cts_in, header_map, frame_base, gid_hi, gid_lo,
-                    hasher=self.hasher, seg_flat=seg_flat,
+            def call(arena, bits, cts_in, header_map, outputs_map, frame_base,
+                     gid_hi, gid_lo, _j=jfn, _s=segs_dev, _o=out_ops_dev):
+                return _j(
+                    arena, bits, cts_in, header_map, outputs_map, _o,
+                    frame_base, gid_hi, gid_lo, _s,
                 )
-                src = _abs_idx(tape.out_ops, header_map, frame_base, tape.header_size)
-                om = jnp.asarray(outputs_map)
-                if len(tape.out_ops):
-                    arena = arena.at[om].set(arena[src])
-                    bits = bits.at[om].set(bits[src])
-                return arena, bits
 
-            if self.batch:
-                step = jax.vmap(
-                    step,
-                    in_axes=(0, 0, 0, None, None, None, None, None) + (None,) * n_seg_args,
-                )
-            fn = jax.jit(step, donate_argnums=(0, 1))
         else:
             raise ValueError(mode)
-
-        seg_dev = self._seg_dev(tape)
-
-        def call(*args, _jfn=fn, _segs=seg_dev):
-            return _jfn(*args, *_segs)
 
         self._fns[key] = call
         return call
@@ -474,7 +517,7 @@ class PlanExecutor:
                     gid_lo,
                 )
                 if ct_handler is not None and st.tape.ct_count:
-                    ct_handler(cts[..., : st.tape.ct_count, :])
+                    ct_handler(cts)
                 prog.advance(st.tape.total_gates)
             else:
                 arena = self._copy_fn(len(st.src), "execute")(

@@ -16,8 +16,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gsv_tpu.circuit.link import Plan, TapeStep
 from gsv_tpu.circuit.runtime import (
-    _garble_tape,
+    _garble_segs,
     _scatter_outputs,
+    seg_arg_list,
 )
 
 
@@ -48,18 +49,18 @@ def sharded_garble_step(plan: Plan, mesh: Mesh):
         for st in steps:
             gid_hi = jnp.uint32(st.gid_base >> 32)
             gid_lo = jnp.uint32(st.gid_base & 0xFFFFFFFF)
-            arena, cts = _garble_tape(
-                st.tape,
-                arena,
-                jnp.asarray(st.header_map),
-                st.frame_base,
-                delta,
-                gid_hi,
-                gid_lo,
+            hm = jnp.asarray(st.header_map)
+            segs = [
+                {f: jnp.asarray(v) for f, v in d.items()}
+                for d in seg_arg_list(st.tape)
+            ]
+            cts_buf = jnp.zeros((st.tape.ct_count + 1, 4), jnp.uint32)
+            arena, cts = _garble_segs(
+                arena, cts_buf, hm, st.frame_base, delta, gid_hi, gid_lo, segs
             )
             arena = _scatter_outputs(
-                st.tape, arena, jnp.asarray(st.header_map), st.frame_base,
-                jnp.asarray(st.outputs_map),
+                arena, hm, st.frame_base,
+                jnp.asarray(st.outputs_map), jnp.asarray(st.tape.out_ops),
             )
             if st.tape.ct_count:
                 checksum = checksum + cts.sum(axis=0)
