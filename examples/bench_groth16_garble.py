@@ -115,23 +115,15 @@ def main():
             distinct.append(st)
     distinct_gates = sum(st.tape.total_gates for st in distinct)
 
-    # The generic executors key XLA compilation on shape signature alone, so
-    # warm-calling ONE representative tape per signature compiles everything.
-    def sig(st):
-        t = st.tape
-        return (
-            t.header_size,
-            t.ct_count,
-            len(t.out_ops),
-            len(st.header_map),
-            len(st.outputs_map),
-            tuple((s.n_waves, s.cf, s.cn) for s in t.segments),
-        )
+    # The generic executors key XLA compilation on the bucketed shape
+    # signature alone, so warm-calling ONE representative tape per signature
+    # compiles everything.
+    from gsv_tpu.circuit.runtime import tape_signature
 
     t0 = time.time()
     sigs = {}
     for st in distinct:
-        sigs.setdefault(sig(st), st)
+        sigs.setdefault(tape_signature(st.tape), st)
     work = list(sigs.values())
     threads = int(os.environ.get("GSV_COMPILE_THREADS", "4"))
     print(

@@ -107,6 +107,112 @@ def seg_arg_list(tape: CompiledTape) -> list:
     return [{f: getattr(seg, f) for f in _SEG_FIELDS} for seg in tape.segments]
 
 
+# ----------------------------------------------------------------------
+# Shape bucketing: quantize every shape a tape exposes to the generic
+# executors (wave counts, header size, output count, ciphertext count) so
+# near-identical tapes land on the SAME aval signature and share one XLA
+# compilation.  Padding is "trash-safe": padded gate rows scatter to the
+# global trash slot, padded ciphertext lanes land in rows sliced off after
+# the call, padded header/output entries point at trash.  Worst-case extra
+# compute is the bucket ratio (~25%) on the padded segment only.
+# ----------------------------------------------------------------------
+
+
+def _bucket_grid(max_val: int = 1 << 22, ratio: float = 1.25) -> np.ndarray:
+    g, v = [], 1
+    while v <= max_val:
+        g.append(v)
+        v = max(v + 1, int(v * ratio))
+    g.append(v)
+    return np.array(g, dtype=np.int64)
+
+
+_WAVE_GRID = _bucket_grid()
+
+
+def _bucket(n: int) -> int:
+    return int(_WAVE_GRID[np.searchsorted(_WAVE_GRID, n)])
+
+
+def _bucket_pow2(n: int, lo: int = 16) -> int:
+    b = lo
+    while b < n:
+        b <<= 1
+    return b
+
+
+def padded_seg_args(tape: CompiledTape):
+    """Bucket-padded segment args for the generic executors.
+
+    Returns (segs, out_ops, meta) where meta carries the true/bucketed
+    header size, ciphertext count and output count.  Operand codes >= the
+    true header size (frame references) are re-encoded against the bucketed
+    header size, since the executors decode frame slots as ``op - H`` with
+    H taken from the header_map argument's length.
+    """
+    H = tape.header_size
+    Hb = _bucket_pow2(H)
+    shift = Hb - H
+    ct = tape.ct_count
+    ctb = _bucket(ct) if ct else 0
+    segs = []
+    for seg in tape.segments:
+        nb = _bucket(seg.n_waves)
+        pad = nb - seg.n_waves
+        d = {}
+        for f in _SEG_FIELDS:
+            arr = getattr(seg, f)
+            if shift and f in ("f_a", "f_b", "n_a", "n_b"):
+                arr = np.where(arr >= H, arr + shift, arr).astype(arr.dtype)
+            if pad:
+                if f in ("f_c", "n_c"):
+                    fill = -1  # scatter to trash
+                elif f == "n_ct":
+                    fill = ct  # first row past the real ciphertexts
+                else:
+                    fill = 0
+                ext = np.full((pad,) + arr.shape[1:], fill, dtype=arr.dtype)
+                arr = np.concatenate([arr, ext], axis=0)
+            d[f] = arr
+        segs.append(d)
+    n_out = len(tape.out_ops)
+    if n_out:
+        ob = _bucket_pow2(n_out, lo=8)
+        oo = tape.out_ops
+        if shift:
+            oo = np.where(oo >= H, oo + shift, oo).astype(oo.dtype)
+        if ob > n_out:
+            oo = np.concatenate([oo, np.zeros(ob - n_out, dtype=oo.dtype)])
+    else:
+        ob = 0
+        oo = tape.out_ops
+    meta = {"H": H, "Hb": Hb, "ct": ct, "ctb": ctb, "n_out": n_out, "ob": ob}
+    return segs, oo, meta
+
+
+def tape_signature(tape: CompiledTape):
+    """The bucketed shape signature two tapes must share to share a compile."""
+    H = tape.header_size
+    ct = tape.ct_count
+    n_out = len(tape.out_ops)
+    return (
+        _bucket_pow2(H),
+        _bucket(ct) if ct else 0,
+        _bucket_pow2(n_out, lo=8) if n_out else 0,
+        tuple((_bucket(s.n_waves), s.cf, s.cn) for s in tape.segments),
+    )
+
+
+def _pad_map(m, k: int):
+    """Pad a header/outputs map to k entries pointing at the trash slot."""
+    n = m.shape[0]
+    if n == k:
+        return m
+    return jnp.concatenate(
+        [jnp.asarray(m), jnp.full((k - n,), _TRASH, dtype=jnp.asarray(m).dtype)]
+    )
+
+
 def _m32(x):
     """0/1 uint8 rows -> (n, c, 1) uint32 masks (inside jit; negligible cost)."""
     return (x.astype(jnp.uint32) * jnp.uint32(0xFFFFFFFF))[..., None]
@@ -381,15 +487,14 @@ class PlanExecutor:
     # -- per-tape wrappers ---------------------------------------------
 
     def _seg_dev(self, tape: CompiledTape) -> tuple:
-        """Device-resident segment arrays + out_ops, uploaded once per
-        distinct tape."""
+        """Device-resident bucket-padded segment arrays + out_ops + meta,
+        uploaded once per distinct tape."""
         key = ("segs", tape.content_key)
         dev = self._fns.get(key)
         if dev is None:
-            segs = [
-                {f: jnp.asarray(v) for f, v in d.items()} for d in seg_arg_list(tape)
-            ]
-            dev = (segs, jnp.asarray(tape.out_ops))
+            segs_np, oo_np, meta = padded_seg_args(tape)
+            segs = [{f: jnp.asarray(v) for f, v in d.items()} for d in segs_np]
+            dev = (segs, jnp.asarray(oo_np), meta)
             self._fns[key] = dev
         return dev
 
@@ -398,36 +503,45 @@ class PlanExecutor:
         fn = self._fns.get(key)
         if fn is not None:
             return fn
-        segs_dev, out_ops_dev = self._seg_dev(tape)
+        segs_dev, out_ops_dev, meta = self._seg_dev(tape)
         jfn = _generic_jit(mode, self.hasher, self.batch)
+        Hb, ctb, ct, ob = meta["Hb"], meta["ctb"], meta["ct"], meta["ob"]
 
         if mode == "execute":
 
             def call(arena, header_map, outputs_map, frame_base,
                      _j=jfn, _s=segs_dev, _o=out_ops_dev):
-                return _j(arena, header_map, outputs_map, _o, frame_base, _s)
+                return _j(
+                    arena, _pad_map(header_map, Hb), _pad_map(outputs_map, ob),
+                    _o, frame_base, _s,
+                )
 
         elif mode == "garble":
             ct_shape = (
-                (self.batch, tape.ct_count + 1, 4)
-                if self.batch
-                else (tape.ct_count + 1, 4)
+                (self.batch, ctb + 1, 4) if self.batch else (ctb + 1, 4)
             )
 
             def call(arena, header_map, outputs_map, frame_base, delta, gid_hi,
                      gid_lo, _j=jfn, _s=segs_dev, _o=out_ops_dev, _cs=ct_shape):
                 cts_buf = jnp.zeros(_cs, jnp.uint32)
-                return _j(
-                    arena, cts_buf, header_map, outputs_map, _o, frame_base,
+                arena, cts = _j(
+                    arena, cts_buf, _pad_map(header_map, Hb),
+                    _pad_map(outputs_map, ob), _o, frame_base,
                     delta, gid_hi, gid_lo, _s,
                 )
+                return arena, cts[..., :ct, :]
 
         elif mode == "evaluate":
 
             def call(arena, bits, cts_in, header_map, outputs_map, frame_base,
                      gid_hi, gid_lo, _j=jfn, _s=segs_dev, _o=out_ops_dev):
+                pad = max(ctb, 1) - cts_in.shape[-2]
+                if pad:
+                    width = [(0, 0)] * (cts_in.ndim - 2) + [(0, pad), (0, 0)]
+                    cts_in = jnp.pad(jnp.asarray(cts_in), width)
                 return _j(
-                    arena, bits, cts_in, header_map, outputs_map, _o,
+                    arena, bits, cts_in, _pad_map(header_map, Hb),
+                    _pad_map(outputs_map, ob), _o,
                     frame_base, gid_hi, gid_lo, _s,
                 )
 
