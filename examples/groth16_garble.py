@@ -1,6 +1,8 @@
 """Full 2PC garble -> stream -> evaluate demo on a sub-circuit
-(reference: examples/groth16_garble.rs, scaled to the Fq12-mul workload by
-default so it completes quickly; pass --full for the whole verifier).
+(reference: examples/groth16_garble.rs, scaled to the Fq12-mul workload so
+it completes quickly on CPU; examples/bench_groth16_garble.py drives the
+whole verifier on the TPU).  --hasher picks aes|blake3 like the reference
+CLI (groth16_garble.rs:276-293).
 
 Pass 1: garble with an accumulating AES hash commitment.
 Pass 2: re-garble streaming ciphertexts to the evaluator (with a hash tee),
@@ -29,6 +31,7 @@ from gsv_tpu.models.groth16_verifier import fq12_mul_model
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--hasher", choices=("aes", "blake3"), default="aes")
     args = ap.parse_args()
 
     runner = fq12_mul_model()
@@ -37,13 +40,13 @@ def main():
     # pass 1: garble with hash commitment only
     t0 = time.time()
     h1 = HashHandler()
-    res1 = runner.garble(args.seed, ct_handler=h1)
+    res1 = runner.garble(args.seed, ct_handler=h1, hasher=args.hasher)
     commit = h1.finalize()
     print(f"pass 1 (garble+commit) in {time.time() - t0:.0f}s; commit={commit.hex()}")
 
     # pass 2: re-garble from the same seed, stream ciphertexts + tee hash
     col, h2 = CollectHandler(), HashHandler()
-    res2 = runner.garble(args.seed, ct_handler=TeeHandler(col, h2))
+    res2 = runner.garble(args.seed, ct_handler=TeeHandler(col, h2), hasher=args.hasher)
     assert h2.finalize() == commit, "re-garble hash mismatch"
 
     # evaluator side: random input bits select active labels
@@ -59,6 +62,7 @@ def main():
         true_label=res2.true_wire_constant.label1,
         false_label=res2.false_wire_constant.label0,
         ct_source=ArraySource(col.stream()),
+        hasher=args.hasher,
     )
     print(f"evaluated in {time.time() - t0:.0f}s")
 

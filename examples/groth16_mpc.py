@@ -50,13 +50,27 @@ def main():
         b=G2Jac.from_affine(proof.b),
         c=G1Jac.from_affine(proof.c),
     )
+    ex = PlanExecutor(plan)
+    bits = np.array([int(b) for b in inp.to_bits()], dtype=np.uint8)
     t0 = time.time()
-    out = PlanExecutor(plan).execute(
-        np.array([int(b) for b in inp.to_bits()], dtype=np.uint8)
-    )
+    out = ex.execute(bits)
     dt = time.time() - t0
     print(f"executed in {dt:.0f}s ({gc.total / dt / 1e6:.1f} Mgates/s)")
     print(f"verification_result: {bool(out[0])}")
+    if "--check" in sys.argv:
+        assert bool(out[0]), "valid proof must verify"
+        # corrupt one bit of the proof encoding -> must NOT verify
+        # (reference: run_false_bitflip_test, gadgets/groth16.rs:510-539)
+        bad = bits.copy()
+        bad[0] ^= 1
+        t0 = time.time()
+        out_bad = ex.execute(bad)
+        print(
+            f"corrupted-proof result: {bool(out_bad[0])} "
+            f"({time.time() - t0:.0f}s)"
+        )
+        assert not bool(out_bad[0]), "corrupted proof must fail"
+        print("CHECK PASSED: valid proof verifies, corrupted proof rejected")
 
 
 if __name__ == "__main__":
