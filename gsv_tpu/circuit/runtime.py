@@ -598,13 +598,18 @@ class PlanExecutor:
         arena = np.asarray(arena)
         return arena[..., plan.output_abs]
 
-    def garble(self, input_label0s, delta, false_label0, true_label0, ct_handler=None):
+    def garble(self, input_label0s, delta, false_label0, true_label0, ct_handler=None, mesh=None):
         """Garble one (or a batch of) instances.
 
         ``input_label0s``: (n_inputs, 4) or (B, n_inputs, 4) uint32 words;
         ``delta``: (4,) or (B, 4).  ``ct_handler(step_cts)`` receives each
         step's ciphertext block (ct_count_step, 4) (or with leading batch
         axis) in stream order.  Returns (output_label0s, arena).
+
+        ``mesh``: optional ``jax.sharding.Mesh`` with an ``instances`` axis —
+        the batch axis is sharded across it and every step runs SPMD (the
+        multi-chip cut-and-choose layout; instances are data, the plan is
+        the replicated program).
         """
         plan = self.plan
         batched = self.batch
@@ -613,7 +618,24 @@ class PlanExecutor:
         arena[..., 0, :] = false_label0
         arena[..., 1, :] = true_label0
         arena[..., plan.input_abs, :] = input_label0s
-        arena = jnp.asarray(arena)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            assert batched, "mesh sharding requires a batched executor"
+            n_dev = mesh.devices.size
+            if batched % n_dev:
+                raise ValueError(
+                    f"instance batch ({batched}) must be a multiple of the "
+                    f"mesh's device count ({n_dev}) to shard evenly - pad "
+                    f"the seed list or shrink the mesh"
+                )
+            sh = NamedSharding(mesh, P("instances", None, None))
+            arena = jax.device_put(arena, sh)
+            delta = jax.device_put(
+                np.asarray(delta, dtype=np.uint32), NamedSharding(mesh, P("instances", None))
+            )
+        else:
+            arena = jnp.asarray(arena)
         delta = jnp.asarray(delta, dtype=jnp.uint32)
         prog = self._progress("garbled")
         for st in plan.steps:

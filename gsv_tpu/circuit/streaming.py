@@ -147,8 +147,12 @@ class CircuitRunner:
             ciphertext_handler_result=handler,
         )
 
-    def garble_batch(self, seeds: list[int], ct_handler=None):
-        """Garble many instances at once (the cut-and-choose axis)."""
+    def garble_batch(self, seeds: list[int], ct_handler=None, mesh=None):
+        """Garble many instances at once (the cut-and-choose axis).
+
+        ``mesh``: optional Mesh with an ``instances`` axis to shard the
+        batch across chips (SPMD; see PlanExecutor.garble).
+        """
         B = len(seeds)
         rngs = [GarblerRng(s) for s in seeds]
         in_labels = np.stack(
@@ -164,6 +168,7 @@ class CircuitRunner:
             np.stack([words_from_int(r.false_label0) for r in rngs]),
             np.stack([words_from_int(r.true_label0) for r in rngs]),
             ct_handler=handler,
+            mesh=mesh,
         )
         return outw, handler, rngs
 

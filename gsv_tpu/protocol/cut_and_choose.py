@@ -115,18 +115,21 @@ def _instance_from_batch(runner: CircuitRunner, seed: int, outw_i, hash_i: bytes
 class Garbler:
     """Garbles ``total`` instances as one batch (garbler.rs:173-242)."""
 
-    def __init__(self, runner: CircuitRunner, config: Config, seeds: list[int] | None = None):
+    def __init__(self, runner: CircuitRunner, config: Config, seeds: list[int] | None = None, mesh=None):
         self.runner = runner
         self.config = config
         self.seeds = seeds or [secrets.randbits(64) for _ in range(config.total)]
         assert len(self.seeds) == config.total
         self.instances: list[GarbledInstance] = []
+        self.mesh = mesh  # optional instances-axis Mesh: shard garbling SPMD
 
     def create(self) -> None:
         """Garble all instances batched; keep labels + ciphertext hashes only
         (ciphertexts are reproducible from seeds)."""
         hasher = HashHandler(batch=self.config.total)
-        outw, handler, _rngs = self.runner.garble_batch(self.seeds, ct_handler=hasher)
+        outw, handler, _rngs = self.runner.garble_batch(
+            self.seeds, ct_handler=hasher, mesh=self.mesh
+        )
         hashes = hasher.finalize()
         self.instances = [
             _instance_from_batch(self.runner, s, outw[i], hashes[i])

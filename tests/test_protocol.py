@@ -119,3 +119,24 @@ class TestCutAndChoose:
         g, ev, commits, open_seeds, streams, hashes = protocol_run
         with pytest.raises(ConsistencyError):
             ev.check_finalized_stream_hash(ev.to_finalize[0], b"\xff" * 16)
+
+
+def test_cut_and_choose_sharded_over_mesh(runner):
+    """SPMD variant: garbling batch sharded over the 8-device CPU mesh
+    produces the SAME commits as the unsharded path (the plan is the
+    replicated program; instances are data)."""
+    import jax
+
+    from gsv_tpu.parallel.sharding import instance_mesh
+
+    seeds = [11, 22, 33, 44, 55, 66, 77, 88]
+    cfg = Config(total=8, to_finalize=3)
+    mesh = instance_mesh(min(8, len(jax.devices())))
+
+    g_mesh = Garbler(runner, cfg, seeds=seeds, mesh=mesh)
+    g_mesh.create()
+    g_ref = Garbler(runner, cfg, seeds=seeds)
+    g_ref.create()
+
+    cm, cr = g_mesh.commit(), g_ref.commit()
+    assert cm == cr
