@@ -61,15 +61,8 @@ def main() -> None:
         for st in plan.steps:
             if isinstance(st, TapeStep):
                 fn = ex._fn(st.tape, "garble")
-                arena, cts = fn(
-                    arena,
-                    jnp.asarray(st.header_map),
-                    jnp.asarray(st.outputs_map),
-                    st.frame_base,
-                    deltas,
-                    jnp.uint32(st.gid_base >> 32),
-                    jnp.uint32(st.gid_base & 0xFFFFFFFF),
-                )
+                hm, om, ghi, glo = ex._step_maps(st)
+                arena, cts = fn(arena, hm, om, st.frame_base, deltas, ghi, glo)
                 if st.tape.ct_count:
                     ck = absorb(ck, cts)
             else:

@@ -60,15 +60,8 @@ def main():
         for st in plan.steps:
             if isinstance(st, TapeStep):
                 fn = ex._fn(st.tape, "garble")
-                arena, cts = fn(
-                    arena,
-                    jnp.asarray(st.header_map),
-                    jnp.asarray(st.outputs_map),
-                    st.frame_base,
-                    deltas,
-                    jnp.uint32(st.gid_base >> 32),
-                    jnp.uint32(st.gid_base & 0xFFFFFFFF),
-                )
+                hm, om, ghi, glo = ex._step_maps(st)
+                arena, cts = fn(arena, hm, om, st.frame_base, deltas, ghi, glo)
                 if st.tape.ct_count:
                     ck = absorb(ck, cts)
                 n_done += st.tape.total_gates
@@ -141,15 +134,8 @@ def main():
         for st in work[idx::threads]:
             ts = time.time()
             fn = ex._fn(st.tape, "garble")
-            arena, _cts = fn(
-                arena,
-                jnp.asarray(st.header_map),
-                jnp.asarray(st.outputs_map),
-                st.frame_base,
-                d,
-                jnp.uint32(st.gid_base >> 32),
-                jnp.uint32(st.gid_base & 0xFFFFFFFF),
-            )
+            hm, om, ghi, glo = ex._step_maps(st)
+            arena, _cts = fn(arena, hm, om, st.frame_base, d, ghi, glo)
             n += 1
             if n <= 3 or n % 5 == 0:
                 jax.block_until_ready(arena)

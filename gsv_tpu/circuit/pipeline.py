@@ -45,10 +45,7 @@ def garble_evaluate_pipeline(
 
     for st in plan.steps:
         if isinstance(st, TapeStep):
-            hdr = jnp.asarray(st.header_map)
-            outs = jnp.asarray(st.outputs_map)
-            gid_hi = jnp.uint32(st.gid_base >> 32)
-            gid_lo = jnp.uint32(st.gid_base & 0xFFFFFFFF)
+            hdr, outs, gid_hi, gid_lo = ex._step_maps(st)
             gfn = ex._fn(st.tape, "garble")
             garbler_arena, cts = gfn(
                 garbler_arena, hdr, outs, st.frame_base, delta, gid_hi, gid_lo

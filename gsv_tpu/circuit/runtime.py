@@ -204,7 +204,11 @@ def tape_signature(tape: CompiledTape):
 
 
 def _pad_map(m, k: int):
-    """Pad a header/outputs map to k entries pointing at the trash slot."""
+    """Pad a header/outputs map to k entries pointing at the trash slot.
+
+    No-op (no device dispatch) when the caller already padded — drivers use
+    ``PlanExecutor._step_maps`` to cache padded device maps per plan step.
+    """
     n = m.shape[0]
     if n == k:
         return m
@@ -271,11 +275,14 @@ def _execute_segs(arena, header_map, frame_base, segs):
     return arena
 
 
-def _garble_segs(arena, cts, header_map, frame_base, delta, gid_hi, gid_lo, segs, hasher="aes"):
-    """Half-gates garbling.  ``cts`` is a zeroed (ct_count + 1, 4) buffer —
-    the trailing trash row absorbs padded-lane scatters and is sliced off.
+def _garble_segs(arena, ct_token, header_map, frame_base, delta, gid_hi, gid_lo, segs, hasher="aes"):
+    """Half-gates garbling.  ``ct_token`` is a zero-byte (ct_bucket + 1, 0)
+    shape carrier; the ciphertext buffer is created inside the program (so
+    no per-step host-side allocation/dispatch) with a trailing trash row
+    that absorbs padded-lane scatters and is sliced off.
     """
     H = header_map.shape[0]
+    cts = jnp.zeros((ct_token.shape[0], 4), jnp.uint32)
     d1 = delta[None, :]
     for sv in segs:
         fa, fb, fc = sv["f_a"], sv["f_b"], sv["f_c"]
@@ -411,10 +418,10 @@ def _generic_jit(mode: str, hasher: str, batch: int | None):
         fn = jax.jit(step, donate_argnums=(0,))
     elif mode == "garble":
 
-        def step(arena, cts_buf, header_map, outputs_map, out_ops, frame_base,
+        def step(arena, ct_token, header_map, outputs_map, out_ops, frame_base,
                  delta, gid_hi, gid_lo, segs):
             arena, cts = _garble_segs(
-                arena, cts_buf, header_map, frame_base, delta, gid_hi, gid_lo,
+                arena, ct_token, header_map, frame_base, delta, gid_hi, gid_lo,
                 segs, hasher=hasher,
             )
             arena = _scatter_outputs(arena, header_map, frame_base, outputs_map, out_ops)
@@ -422,9 +429,9 @@ def _generic_jit(mode: str, hasher: str, batch: int | None):
 
         if batch:
             step = jax.vmap(
-                step, in_axes=(0, 0, None, None, None, None, 0, None, None, None)
+                step, in_axes=(0, None, None, None, None, None, 0, None, None, None)
             )
-        fn = jax.jit(step, donate_argnums=(0, 1))
+        fn = jax.jit(step, donate_argnums=(0,))
     elif mode == "evaluate":
 
         def step(arena, bits, cts_in, header_map, outputs_map, out_ops,
@@ -494,7 +501,25 @@ class PlanExecutor:
         if dev is None:
             segs_np, oo_np, meta = padded_seg_args(tape)
             segs = [{f: jnp.asarray(v) for f, v in d.items()} for d in segs_np]
-            dev = (segs, jnp.asarray(oo_np), meta)
+            token = jnp.zeros((max(meta["ctb"], 0) + 1, 0), jnp.uint32)
+            dev = (segs, jnp.asarray(oo_np), token, meta)
+            self._fns[key] = dev
+        return dev
+
+    def _step_maps(self, st: TapeStep):
+        """Bucket-padded, device-resident header/outputs maps and gid-base
+        scalars per plan step (uploading these per call costs a tunnel
+        round trip each)."""
+        key = ("maps", id(st))
+        dev = self._fns.get(key)
+        if dev is None:
+            _, _, _, meta = self._seg_dev(st.tape)
+            dev = (
+                _pad_map(jnp.asarray(st.header_map), meta["Hb"]),
+                _pad_map(jnp.asarray(st.outputs_map), meta["ob"]),
+                jnp.uint32(st.gid_base >> 32),
+                jnp.uint32(st.gid_base & 0xFFFFFFFF),
+            )
             self._fns[key] = dev
         return dev
 
@@ -503,7 +528,7 @@ class PlanExecutor:
         fn = self._fns.get(key)
         if fn is not None:
             return fn
-        segs_dev, out_ops_dev, meta = self._seg_dev(tape)
+        segs_dev, out_ops_dev, ct_token, meta = self._seg_dev(tape)
         jfn = _generic_jit(mode, self.hasher, self.batch)
         Hb, ctb, ct, ob = meta["Hb"], meta["ctb"], meta["ct"], meta["ob"]
 
@@ -517,15 +542,11 @@ class PlanExecutor:
                 )
 
         elif mode == "garble":
-            ct_shape = (
-                (self.batch, ctb + 1, 4) if self.batch else (ctb + 1, 4)
-            )
 
             def call(arena, header_map, outputs_map, frame_base, delta, gid_hi,
-                     gid_lo, _j=jfn, _s=segs_dev, _o=out_ops_dev, _cs=ct_shape):
-                cts_buf = jnp.zeros(_cs, jnp.uint32)
+                     gid_lo, _j=jfn, _s=segs_dev, _o=out_ops_dev, _t=ct_token):
                 arena, cts = _j(
-                    arena, cts_buf, _pad_map(header_map, Hb),
+                    arena, _t, _pad_map(header_map, Hb),
                     _pad_map(outputs_map, ob), _o, frame_base,
                     delta, gid_hi, gid_lo, _s,
                 )
@@ -589,7 +610,8 @@ class PlanExecutor:
         for st in plan.steps:
             if isinstance(st, TapeStep):
                 fn = self._fn(st.tape, "execute")
-                arena = fn(arena, jnp.asarray(st.header_map), jnp.asarray(st.outputs_map), st.frame_base)
+                hm, om, _, _ = self._step_maps(st)
+                arena = fn(arena, hm, om, st.frame_base)
                 prog.advance(st.tape.total_gates)
             else:
                 arena = self._copy_fn(len(st.src), "execute")(
@@ -641,16 +663,9 @@ class PlanExecutor:
         for st in plan.steps:
             if isinstance(st, TapeStep):
                 fn = self._fn(st.tape, "garble")
-                gid_hi = jnp.uint32(st.gid_base >> 32)
-                gid_lo = jnp.uint32(st.gid_base & 0xFFFFFFFF)
+                hm, om, gid_hi, gid_lo = self._step_maps(st)
                 arena, cts = fn(
-                    arena,
-                    jnp.asarray(st.header_map),
-                    jnp.asarray(st.outputs_map),
-                    st.frame_base,
-                    delta,
-                    gid_hi,
-                    gid_lo,
+                    arena, hm, om, st.frame_base, delta, gid_hi, gid_lo
                 )
                 if ct_handler is not None and st.tape.ct_count:
                     ct_handler(cts)
@@ -692,17 +707,10 @@ class PlanExecutor:
                     )
                 else:
                     cts_in = ct_source(st.ct_base, st.tape.ct_count)
-                gid_hi = jnp.uint32(st.gid_base >> 32)
-                gid_lo = jnp.uint32(st.gid_base & 0xFFFFFFFF)
+                hm, om, gid_hi, gid_lo = self._step_maps(st)
                 arena, bits = fn(
-                    arena,
-                    bits,
-                    jnp.asarray(cts_in),
-                    jnp.asarray(st.header_map),
-                    jnp.asarray(st.outputs_map),
-                    st.frame_base,
-                    gid_hi,
-                    gid_lo,
+                    arena, bits, jnp.asarray(cts_in), hm, om,
+                    st.frame_base, gid_hi, gid_lo,
                 )
                 prog.advance(st.tape.total_gates)
             else:

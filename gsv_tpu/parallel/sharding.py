@@ -54,9 +54,9 @@ def sharded_garble_step(plan: Plan, mesh: Mesh):
                 {f: jnp.asarray(v) for f, v in d.items()}
                 for d in seg_arg_list(st.tape)
             ]
-            cts_buf = jnp.zeros((st.tape.ct_count + 1, 4), jnp.uint32)
+            token = jnp.zeros((st.tape.ct_count + 1, 0), jnp.uint32)
             arena, cts = _garble_segs(
-                arena, cts_buf, hm, st.frame_base, delta, gid_hi, gid_lo, segs
+                arena, token, hm, st.frame_base, delta, gid_hi, gid_lo, segs
             )
             arena = _scatter_outputs(
                 arena, hm, st.frame_base,
