@@ -25,6 +25,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from gsv_tpu.core.jitcache import enable_if_tpu
+
+    enable_if_tpu()
+
     from gsv_tpu.circuit.link import TapeStep
     from gsv_tpu.circuit.runtime import PlanExecutor
     from gsv_tpu.core.labels import words_from_int

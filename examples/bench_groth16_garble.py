@@ -22,6 +22,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from gsv_tpu.core.jitcache import enable_if_tpu
+
+    enable_if_tpu()
+
     from gsv_tpu.bn254_host.groth16 import dummy_proof
     from gsv_tpu.circuit.link import TapeStep
     from gsv_tpu.circuit.runtime import PlanExecutor

@@ -1,0 +1,73 @@
+"""Warm the persistent compile cache with the full verifier's tape programs.
+
+Builds the Groth16 verifier plan, dedupes tapes by bucketed shape
+signature, and warm-calls one representative per signature sequentially so
+every compiled executable lands in ``.jit_cache/`` (see
+``gsv_tpu.core.jitcache``).  The remote compile service serializes
+programs (~40s each), so this is a long background job; it is restartable —
+already-cached signatures fly through on later runs.
+
+Usage: python scripts/precompile_verifier.py [B] [flatten_max]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gsv_tpu.core.jitcache import enable_if_tpu
+
+    print("persistent cache:", enable_if_tpu(), flush=True)
+
+    from gsv_tpu.bn254_host.groth16 import dummy_proof
+    from gsv_tpu.circuit.link import TapeStep
+    from gsv_tpu.circuit.runtime import PlanExecutor, tape_signature
+    from gsv_tpu.models.groth16_verifier import Groth16VerifierModel
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    flatten_max = int(sys.argv[2]) if len(sys.argv) > 2 else (1 << 20)
+
+    vk, proof, publics = dummy_proof(k=6, seed=0)
+    model = Groth16VerifierModel(
+        vk=vk, n_public=len(publics), compressed=False, flatten_max=flatten_max
+    )
+    t0 = time.time()
+    plan = model.runner.plan
+    print(f"plan ready in {time.time()-t0:.0f}s", flush=True)
+
+    sigs = {}
+    for st in plan.steps:
+        if isinstance(st, TapeStep):
+            sigs.setdefault(tape_signature(st.tape), st)
+    work = list(sigs.values())
+    print(f"{len(work)} shape signatures to warm", flush=True)
+
+    ex = PlanExecutor(plan, batch=B if B > 1 else None)
+    shape = (B, plan.arena_size, 4) if B > 1 else (plan.arena_size, 4)
+    arena = jnp.zeros(shape, jnp.uint32)
+    delta = jnp.zeros((B, 4) if B > 1 else (4,), jnp.uint32)
+
+    t0 = time.time()
+    for n, st in enumerate(work, 1):
+        fn = ex._fn(st.tape, "garble")
+        hm, om, ghi, glo = ex._step_maps(st)
+        arena, _ = fn(arena, hm, om, st.frame_base, delta, ghi, glo)
+        if n % 5 == 0 or n == len(work):
+            jax.block_until_ready(arena)
+            dt = time.time() - t0
+            print(
+                f"  {n}/{len(work)} warmed ({dt:.0f}s, {dt/n:.1f}s/sig)",
+                flush=True,
+            )
+    print("precompile complete", flush=True)
+
+
+if __name__ == "__main__":
+    main()
