@@ -45,12 +45,29 @@ from gsv_tpu.ops.blake3_jax import blake3_hash_words
 from gsv_tpu.ops.tweaks import tweak_words
 
 
+# Pallas AES pays off only when the doubled block batch fills whole lane
+# tiles; below this the XLA elementwise path wins (and tiny segments would
+# pad 512x).  16384 blocks = 1 tile of 512 lanes.
+_PALLAS_MIN_BLOCKS = 16384
+
+
+def _aes_blocks(blocks, hasher):
+    """Fixed-key AES over (n, 4) word blocks by hasher flavor."""
+    if hasher == "aes_pallas" and blocks.shape[0] >= _PALLAS_MIN_BLOCKS:
+        from gsv_tpu.ops.aes_pallas import aes_encrypt_words_pallas
+
+        from gsv_tpu.core.hw import tpu_available
+
+        return aes_encrypt_words_pallas(blocks, interpret=not tpu_available())
+    return aes_encrypt_words(blocks, xp=jnp)
+
+
 def _gate_hash2(sel_a, other_a, hi, lo, hasher):
     """Hash both a-labels with the same gate id (garble path)."""
-    if hasher == "aes":
+    if hasher in ("aes", "aes_pallas"):
         tw = tweak_words(hi, lo, xp=jnp)
         blocks = jnp.concatenate([sel_a ^ tw, other_a ^ tw], axis=0)
-        return aes_encrypt_words(blocks, xp=jnp)
+        return _aes_blocks(blocks, hasher)
     blocks = jnp.concatenate([sel_a, other_a], axis=0)
     hi2 = jnp.concatenate([hi, hi])
     lo2 = jnp.concatenate([lo, lo])
@@ -59,10 +76,10 @@ def _gate_hash2(sel_a, other_a, hi, lo, hasher):
 
 def _gate_hash1(labels, hi, lo, hasher):
     """Hash the single active a-label (evaluate path)."""
-    if hasher == "aes":
+    if hasher in ("aes", "aes_pallas"):
         tw = tweak_words(hi, lo, xp=jnp)
         blocks, _ = _pad32(labels ^ tw)
-        return aes_encrypt_words(blocks, xp=jnp)[: labels.shape[0]]
+        return _aes_blocks(blocks, hasher)[: labels.shape[0]]
     return blake3_hash_words(labels, hi, lo, xp=jnp)
 
 
@@ -479,7 +496,7 @@ class PlanExecutor:
         instance: int | None = None,
         hasher: str = "aes",
     ):
-        assert hasher in ("aes", "blake3")
+        assert hasher in ("aes", "aes_pallas", "blake3")
         self.plan = plan
         self.batch = batch  # None = unbatched
         self.instance = instance

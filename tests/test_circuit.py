@@ -292,3 +292,31 @@ class TestNesting:
             out = ex.execute(np.array(bits, dtype=np.uint8))
             a, b, c, d = bits
             assert list(out) == [a & b, a ^ b, c & d, c ^ d], bits
+
+
+def test_pallas_hasher_matches_aes(monkeypatch):
+    """hasher='aes_pallas' produces bit-identical ciphertexts to 'aes'
+    (same fixed-key AES, Pallas-kernel execution; interpret mode on CPU).
+    Threshold patched so the tiny test circuit takes the Pallas path."""
+    from gsv_tpu.circuit import runtime as rt
+
+    monkeypatch.setattr(rt, "_PALLAS_MIN_BLOCKS", 1)
+
+    tmpl, _ = trace_circuit(adder_circuit, 4)
+    plan = link(Compiler(flatten_max=1 << 20).compile(tmpl), 4)
+    rng = GarblerRng(5)
+    in_labels = words_from_int_array([rng.issue_label0() for _ in range(4)])
+    args = (
+        in_labels,
+        words_from_int(rng.delta),
+        words_from_int(rng.false_label0),
+        words_from_int(rng.true_label0),
+    )
+    outs = {}
+    for hasher in ("aes", "aes_pallas"):
+        cts = []
+        outw, _ = PlanExecutor(plan, hasher=hasher).garble(
+            *args, ct_handler=lambda c: cts.append(np.asarray(c))
+        )
+        outs[hasher] = (int_array_from_words(outw), int_array_from_words(np.concatenate(cts)))
+    assert outs["aes"] == outs["aes_pallas"]
