@@ -7,7 +7,8 @@ every compiled executable lands in ``.jit_cache/`` (see
 programs (~40s each), so this is a long background job; it is restartable —
 already-cached signatures fly through on later runs.
 
-Usage: python scripts/precompile_verifier.py [B] [flatten_max]
+Usage: python scripts/precompile_verifier.py [B] [flatten_max] [mode]
+(mode: garble | evaluate | execute; garble first — it is the headline path)
 """
 
 import sys
@@ -33,6 +34,7 @@ def main():
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     flatten_max = int(sys.argv[2]) if len(sys.argv) > 2 else (1 << 20)
+    mode = sys.argv[3] if len(sys.argv) > 3 else "garble"
 
     vk, proof, publics = dummy_proof(k=6, seed=0)
     model = Groth16VerifierModel(
@@ -54,11 +56,22 @@ def main():
     arena = jnp.zeros(shape, jnp.uint32)
     delta = jnp.zeros((B, 4) if B > 1 else (4,), jnp.uint32)
 
+    bits = jnp.zeros(shape[:-1], jnp.uint8)
     t0 = time.time()
     for n, st in enumerate(work, 1):
-        fn = ex._fn(st.tape, "garble")
+        fn = ex._fn(st.tape, mode)
         hm, om, ghi, glo = ex._step_maps(st)
-        arena, _ = fn(arena, hm, om, st.frame_base, delta, ghi, glo)
+        if mode == "garble":
+            arena, _ = fn(arena, hm, om, st.frame_base, delta, ghi, glo)
+        elif mode == "execute":
+            arena8 = fn(bits, hm, om, st.frame_base)
+            bits = arena8
+        else:  # evaluate
+            cts_in = jnp.zeros(
+                ((B, max(st.tape.ct_count, 1), 4) if B > 1 else (max(st.tape.ct_count, 1), 4)),
+                jnp.uint32,
+            )
+            arena, bits = fn(arena, bits, cts_in, hm, om, st.frame_base, ghi, glo)
         if n % 5 == 0 or n == len(work):
             jax.block_until_ready(arena)
             dt = time.time() - t0
