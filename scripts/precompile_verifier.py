@@ -58,28 +58,52 @@ def main():
 
     bits = jnp.zeros(shape[:-1], jnp.uint8)
     t0 = time.time()
+    failed = 0
     for n, st in enumerate(work, 1):
-        fn = ex._fn(st.tape, mode)
-        hm, om, ghi, glo = ex._step_maps(st)
-        if mode == "garble":
-            arena, _ = fn(arena, hm, om, st.frame_base, delta, ghi, glo)
-        elif mode == "execute":
-            arena8 = fn(bits, hm, om, st.frame_base)
-            bits = arena8
-        else:  # evaluate
-            cts_in = jnp.zeros(
-                ((B, max(st.tape.ct_count, 1), 4) if B > 1 else (max(st.tape.ct_count, 1), 4)),
-                jnp.uint32,
-            )
-            arena, bits = fn(arena, bits, cts_in, hm, om, st.frame_base, ghi, glo)
+        # the remote compile service occasionally recycles its helper
+        # (HTTP 500 / signal 15) — retry, then skip the signature
+        for attempt in range(3):
+            try:
+                fn = ex._fn(st.tape, mode)
+                hm, om, ghi, glo = ex._step_maps(st)
+                if mode == "garble":
+                    arena, _ = fn(arena, hm, om, st.frame_base, delta, ghi, glo)
+                elif mode == "execute":
+                    bits = fn(bits, hm, om, st.frame_base)
+                else:  # evaluate
+                    cts_in = jnp.zeros(
+                        (
+                            (B, max(st.tape.ct_count, 1), 4)
+                            if B > 1
+                            else (max(st.tape.ct_count, 1), 4)
+                        ),
+                        jnp.uint32,
+                    )
+                    arena, bits = fn(
+                        arena, bits, cts_in, hm, om, st.frame_base, ghi, glo
+                    )
+                jax.block_until_ready(arena if mode != "execute" else bits)
+                break
+            except Exception as e:  # noqa: BLE001
+                print(
+                    f"  [warn] sig {n} attempt {attempt+1}: "
+                    f"{type(e).__name__}: {str(e)[:100]}",
+                    flush=True,
+                )
+                time.sleep(10 * (attempt + 1))
+                # a failed garble call may have consumed the donated arena
+                arena = jnp.zeros(shape, jnp.uint32)
+                bits = jnp.zeros(shape[:-1], jnp.uint8)
+        else:
+            failed += 1
         if n % 5 == 0 or n == len(work):
-            jax.block_until_ready(arena)
             dt = time.time() - t0
             print(
-                f"  {n}/{len(work)} warmed ({dt:.0f}s, {dt/n:.1f}s/sig)",
+                f"  {n}/{len(work)} warmed ({dt:.0f}s, {dt/n:.1f}s/sig, "
+                f"{failed} failed)",
                 flush=True,
             )
-    print("precompile complete", flush=True)
+    print(f"precompile complete ({failed} failed)", flush=True)
 
 
 if __name__ == "__main__":
