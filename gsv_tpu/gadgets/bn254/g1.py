@@ -199,16 +199,12 @@ def _scalar_mul_by_constant_base(
         p = p + base
 
     def to_wires(pts):
-        return [
-            G1Wire.new_constant(
-                G1Jac(
-                    HostFq(FqWire.as_montgomery(int(b.x))),
-                    HostFq(FqWire.as_montgomery(int(b.y))),
-                    HostFq(FqWire.as_montgomery(int(b.z))),
-                )
-            )
-            for b in pts
-        ]
+        # G1Wire.new_constant Montgomery-encodes internally; feeding it
+        # pre-encoded coordinates double-encodes the table (x*R^2) — the
+        # reference's new_constant allocates raw, hence its explicit
+        # as_montgomery at this spot (g1.rs:308-340), which must NOT be
+        # mirrored here.
+        return [G1Wire.new_constant(b) for b in pts]
 
     bases_wires = to_wires(bases)
     to_be_added = []
@@ -241,10 +237,7 @@ def _msm_with_constant_bases(
 ) -> G1Wire:
     """(g1.rs:370-400)."""
     if not scalars:
-        zero_m = G1Jac(
-            HostFq(FqWire.as_montgomery(1)), HostFq(FqWire.as_montgomery(1)), HostFq(0)
-        )
-        return G1Wire.new_constant(zero_m)
+        return G1Wire.new_constant(G1Jac(HostFq(1), HostFq(1), HostFq(0)))
     assert len(scalars) == len(bases_key)
     to_be_added = []
     for s, bk in zip(scalars, bases_key):

@@ -133,13 +133,10 @@ def groth16_verify(
     bases = [G1Jac.from_affine(p) for p in vk.gamma_abc_g1[1 : 1 + len(public)]]
     msm_temp = G1Ops.msm_with_constant_bases_montgomery(ctx, public, bases, MSM_WINDOW)
 
+    # G1Wire.new_constant Montgomery-encodes; pass the standard form
+    # (pre-encoding here double-encoded gamma_abc[0] and broke the MSM)
     gamma0 = G1Jac.from_affine(vk.gamma_abc_g1[0])
-    gamma0_m = G1Jac(
-        HostFq(FqWire.as_montgomery(int(gamma0.x))),
-        HostFq(FqWire.as_montgomery(int(gamma0.y))),
-        HostFq(FqWire.as_montgomery(int(gamma0.z))),
-    )
-    msm = G1Ops.add_montgomery(ctx, msm_temp, G1Wire.new_constant(gamma0_m))
+    msm = G1Ops.add_montgomery(ctx, msm_temp, G1Wire.new_constant(gamma0))
     msm_affine = projective_to_affine_montgomery(ctx, msm)
 
     f = multi_miller_loop_groth16_evaluate_montgomery_fast(
@@ -154,7 +151,10 @@ def groth16_verify(
 
     alpha_beta = _vk_alpha_beta_inv(vk)
     f = final_exponentiation_montgomery(ctx, f)
-    return Fq12.equal_constant(ctx, f, _as_mont_fq12(alpha_beta))
+    # Fq2.equal_constant Montgomery-encodes each coefficient internally, so
+    # the comparison constant stays in standard form (pre-encoding here
+    # compared f against a double-encoded alpha*beta and always failed)
+    return Fq12.equal_constant(ctx, f, alpha_beta)
 
 
 def groth16_verify_compressed(
@@ -170,15 +170,6 @@ def groth16_verify_compressed(
     b_p = decompress_g2_from_compressed(ctx, b)
     c_p = decompress_g1_from_compressed(ctx, c)
     return groth16_verify(ctx, public, a_p, b_p, c_p, vk)
-
-
-def _as_mont_fq12(v: HostFq12) -> HostFq12:
-    from gsv_tpu.bn254_host.field import Fq6 as HostFq6
-
-    def m6(x):
-        return HostFq6(_as_mont_fq2(x.c0), _as_mont_fq2(x.c1), _as_mont_fq2(x.c2))
-
-    return HostFq12(m6(v.c0), m6(v.c1))
 
 
 # ----------------------------------------------------------------------

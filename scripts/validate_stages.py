@@ -424,7 +424,7 @@ def stage_fe():
 
 def stage_msm():
     from gsv_tpu.bn254_host.groth16 import dummy_proof
-    from gsv_tpu.gadgets.bn254.fr import FR_PARAMS, FrScalarWire
+    from gsv_tpu.gadgets.bn254.g1 import FrScalarWire
     from gsv_tpu.gadgets.groth16 import MSM_WINDOW
 
     vk, proof, publics = dummy_proof(k=6, seed=0)
