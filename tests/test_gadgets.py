@@ -177,3 +177,49 @@ class TestFp254:
         assert FR_PARAMS.r_inverse == int(
             "17773755579518009376303681366703133516854333631346829854655645366227550102839"
         )
+
+
+class TestConstantEncoding:
+    """Montgomery-encoding conventions for constants (regression guards for
+    the double-encoding bug that broke the full verifier): Wire.new_constant
+    and Fq2-level equal_constant take STANDARD-form values and encode
+    internally; fp254-level constant gadgets take pre-encoded values."""
+
+    def test_g1_constant_single_encoding(self):
+        from gsv_tpu.bn254_host.curve import G1Jac, g1_gen
+        from gsv_tpu.gadgets.bn254.g1 import G1Wire
+
+        pt = G1Jac.from_affine(g1_gen())
+
+        def f(ctx, ins):
+            w = G1Wire.new_constant(pt)
+            return [w.x, w.y, w.z]
+
+        out = run_interp(f, [False])
+        xs = [int_from_bits(out[i * 254 : (i + 1) * 254]) for i in range(3)]
+        assert FP.from_mont(xs[0]) == int(pt.x)
+        assert FP.from_mont(xs[1]) == int(pt.y)
+        assert FP.from_mont(xs[2]) == int(pt.z)
+
+    def test_fq12_equal_constant_takes_standard_form(self):
+        import random as _r
+
+        from gsv_tpu.bn254_host.field import Fq as HFq, Fq2 as HFq2, Fq6 as HFq6, Fq12 as HFq12
+        from gsv_tpu.gadgets.bn254.fq import FqWire
+        from gsv_tpu.gadgets.bn254.fq2 import Fq2Wire
+        from gsv_tpu.gadgets.bn254.fq6 import Fq6Wire
+        from gsv_tpu.gadgets.bn254.fq12 import Fq12, Fq12Wire
+
+        r = _r.Random(9)
+        v = HFq12(
+            HFq6(*[HFq2(HFq(r.randrange(FP.modulus)), HFq(r.randrange(FP.modulus))) for _ in range(3)]),
+            HFq6(*[HFq2(HFq(r.randrange(FP.modulus)), HFq(r.randrange(FP.modulus))) for _ in range(3)]),
+        )
+
+        def f(ctx, ins):
+            w = Fq12Wire.new_constant(v)  # wires hold the Montgomery form
+            good = Fq12.equal_constant(ctx, w, v)  # compares vs STANDARD v
+            return [good]
+
+        out = run_interp(f, [False])
+        assert out[0] is True
