@@ -96,6 +96,21 @@ def main():
                 bits = jnp.zeros(shape[:-1], jnp.uint8)
         else:
             failed += 1
+        # Keep RSS flat: the compiled executable is persisted in the cache;
+        # the per-tape segment uploads / wrappers / built segments are not
+        # needed again in this process.
+        ex._fns.pop(("segs", st.tape.content_key), None)
+        ex._fns.pop((st.tape.content_key, mode, ex.hasher), None)
+        ex._fns.pop(("maps", id(st)), None)
+        object.__setattr__(st.tape, "_segments", None)
+        if n % 3 == 0:
+            import gc
+
+            gc.collect()
+        rss_kb = int(open("/proc/self/status").read().split("VmRSS:")[1].split()[0])
+        if rss_kb > 45_000_000:
+            print(f"RSS {rss_kb//1024}MB too high; exiting for restart", flush=True)
+            return
         if n % 5 == 0 or n == len(work):
             dt = time.time() - t0
             print(
