@@ -2,8 +2,8 @@
 
 The reference's pattern: random values, run the gadget in execute mode,
 compare with host arithmetic (SURVEY §4.2).  Heavier tower/curve/pairing
-circuits are covered by the slow suite (tests/test_slow_circuits.py) and the
-standalone verification scripts.
+circuits are covered by the gated slow suite (tests/test_slow_e2e.py) and
+the staged validator (scripts/validate_stages.py).
 """
 
 import random
