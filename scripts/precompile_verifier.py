@@ -36,13 +36,29 @@ def main():
     flatten_max = int(sys.argv[2]) if len(sys.argv) > 2 else (1 << 20)
     mode = sys.argv[3] if len(sys.argv) > 3 else "garble"
 
-    vk, proof, publics = dummy_proof(k=6, seed=0)
-    model = Groth16VerifierModel(
-        vk=vk, n_public=len(publics), compressed=False, flatten_max=flatten_max
-    )
+    # the compiled+linked plan is pure data; pickle it so restarts (and
+    # later rounds) skip the ~9-minute trace/compile/link
+    import os
+    import pickle
+
+    plan_cache = f".plan_cache_k6_uncompressed_{flatten_max}.pkl"
     t0 = time.time()
-    plan = model.runner.plan
-    print(f"plan ready in {time.time()-t0:.0f}s", flush=True)
+    if os.path.exists(plan_cache):
+        with open(plan_cache, "rb") as fh:
+            plan = pickle.load(fh)
+        print(f"plan loaded from cache in {time.time()-t0:.0f}s", flush=True)
+    else:
+        vk, proof, publics = dummy_proof(k=6, seed=0)
+        model = Groth16VerifierModel(
+            vk=vk, n_public=len(publics), compressed=False, flatten_max=flatten_max
+        )
+        plan = model.runner.plan
+        print(f"plan ready in {time.time()-t0:.0f}s", flush=True)
+        t0 = time.time()
+        with open(plan_cache + ".tmp", "wb") as fh:
+            pickle.dump(plan, fh, protocol=5)
+        os.replace(plan_cache + ".tmp", plan_cache)
+        print(f"plan pickled in {time.time()-t0:.0f}s", flush=True)
 
     sigs = {}
     for st in plan.steps:
