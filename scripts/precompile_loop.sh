@@ -1,16 +1,13 @@
 #!/bin/bash
-# Restart wrapper for precompile_verifier.py: the warmer leaks ~1GB RSS per
-# warmed signature (axon client host mirrors), so it self-exits when RSS gets
-# high and we restart it; already-cached signatures fly through on re-runs.
-# Stops when the warmer prints "precompile complete".
-cd "$(dirname "$0")/.."
-B="${1:-16}"
-LOG="${2:-/tmp/precompile.log}"
+# Restart loop around precompile_verifier.py: the warmer exits when RSS grows
+# too large (axon client leak, see CLAUDE.md); rerun until it prints
+# "precompile complete". Log to /root/repo/precompile.log.
+cd /root/repo
 for i in $(seq 1 200); do
-  echo "=== precompile pass $i $(date -u +%H:%M:%S) ===" >> "$LOG"
-  timeout 10800 python scripts/precompile_verifier.py "$B" >> "$LOG" 2>&1
-  if grep -q "precompile complete" "$LOG"; then
-    echo "=== DONE after pass $i ===" >> "$LOG"
+  echo "=== precompile pass $i $(date -u +%H:%M:%S) ===" >> precompile.log
+  python scripts/precompile_verifier.py "${1:-16}" "${2:-1048576}" "${3:-garble}" >> precompile.log 2>&1
+  if tail -5 precompile.log | grep -q "precompile complete"; then
+    echo "=== done ===" >> precompile.log
     break
   fi
   sleep 5
