@@ -70,6 +70,12 @@ class Template:
     total_gates: int = 0  # own + children, all gates
     own_gates: int = 0
     hist: np.ndarray = None  # (11,) uint64 aggregated histogram
+    # barrier templates are never inlined into a flat tape: their wiring
+    # references constant wires that must stay in step *headers* (arena
+    # slots 0/1) so the child tapes' contents stay constant-independent —
+    # the mechanism behind the uniform-shape constant gadgets (TPU fast
+    # path; see gadgets/bn254/fp254.py::mul_by_constant_montgomery)
+    barrier: bool = False
 
     def __repr__(self):
         return (
@@ -86,10 +92,15 @@ class TemplateCache:
     circuit number in the hundreds.
     """
 
-    def __init__(self):
+    def __init__(self, uniform_constants: bool = False):
         self.templates: dict[Any, Template] = {}
         self.hits = 0
         self.misses = 0
+        # trace-wide config: constant-mul gadgets emit constant-independent
+        # shapes (constants as FALSE/TRUE header wires through the generic
+        # multiplier) instead of the reference's baked zero-skipping streams.
+        # Snapshotted per cache so one trace can't mix modes.
+        self.uniform_constants = uniform_constants
 
     def get(self, key):
         t = self.templates.get(key)
@@ -123,6 +134,11 @@ class TraceCtx:
 
     FALSE = FALSE_WIRE
     TRUE = TRUE_WIRE
+
+    @property
+    def uniform_constants(self) -> bool:
+        """Trace-wide constant-gadget mode (see TemplateCache)."""
+        return getattr(self.cache, "uniform_constants", False)
 
     # Nesting guard: real gadget stacks are < 30 deep (Groth16) and the
     # reference's own stress test is 1000; hitting thousands almost always
@@ -216,6 +232,7 @@ class TraceCtx:
         name: str,
         input_wires: list[int],
         body: Callable[["TraceCtx", list[int]], tuple[list[int], Any]],
+        barrier: bool = False,
     ) -> tuple[list[int], Any]:
         """Invoke a child component (``with_named_child``).
 
@@ -238,6 +255,7 @@ class TraceCtx:
             child_inputs = list(range(_FIRST_INPUT, _FIRST_INPUT + len(input_wires)))
             out_ids, out_treedef = body(child_ctx, child_inputs)
             template = child_ctx.finish(out_ids, out_treedef)
+            template.barrier = barrier
             self.cache.put(key, template)
 
         # map child outputs to parent wires
@@ -307,7 +325,13 @@ class TraceCtx:
 # ----------------------------------------------------------------------
 
 
-def component(fn=None, *, offcircuit: tuple[str, ...] = (), name: str | None = None):
+def component(
+    fn=None,
+    *,
+    offcircuit: tuple[str, ...] = (),
+    name: str | None = None,
+    barrier: bool = False,
+):
     """Mark a gadget function as a cached circuit component.
 
     The wrapped function must take the tracing context as its first
@@ -351,7 +375,7 @@ def component(fn=None, *, offcircuit: tuple[str, ...] = (), name: str | None = N
                 out_ids, out_treedef = flatten_wires(result)
                 return out_ids, out_treedef
 
-            out_ids, out_treedef = ctx.child(key, qualname, flat_in, body)
+            out_ids, out_treedef = ctx.child(key, qualname, flat_in, body, barrier=barrier)
             return unflatten_wires(out_treedef, out_ids)
 
         wrapper.__name__ = f.__name__
@@ -365,7 +389,12 @@ def component(fn=None, *, offcircuit: tuple[str, ...] = (), name: str | None = N
     return wrap
 
 
-def trace_circuit(fn: Callable, n_inputs: int, cache: TemplateCache | None = None):
+def trace_circuit(
+    fn: Callable,
+    n_inputs: int,
+    cache: TemplateCache | None = None,
+    uniform_constants: bool = False,
+):
     """Trace a root circuit function into a Template.
 
     ``fn(ctx, input_wires: list[int]) -> wire structure`` — the root closure
@@ -379,7 +408,10 @@ def trace_circuit(fn: Callable, n_inputs: int, cache: TemplateCache | None = Non
     if sys.getrecursionlimit() < 100_000:
         sys.setrecursionlimit(100_000)
 
-    cache = cache or TemplateCache()
+    cache = cache or TemplateCache(uniform_constants=uniform_constants)
+    assert cache.uniform_constants == uniform_constants, (
+        "a TemplateCache cannot be shared across constant-gadget modes"
+    )
     root_ctx = TraceCtx(cache, "<root>", key=("<root>",), n_inputs=n_inputs)
     inputs = list(range(_FIRST_INPUT, _FIRST_INPUT + n_inputs))
     result = fn(root_ctx, inputs)

@@ -158,6 +158,21 @@ def _bucket_pow2(n: int, lo: int = 16) -> int:
     return b
 
 
+def padded_seg_args_group(tape: CompiledTape):
+    """Group-executor variant of ``padded_seg_args``: ciphertext lane padding
+    is re-marked -1 (instead of ``ct_count``) so the group program can route
+    padded lanes to its single trash row data-dependently — per-site stream
+    bases make a per-tape sentinel ambiguous across sites."""
+    segs, oo, meta = padded_seg_args(tape)
+    ct = meta["ct"]
+    out = []
+    for d in segs:
+        d = dict(d)
+        d["n_ct"] = np.where(d["n_ct"] >= ct, -1, d["n_ct"]).astype(np.int32)
+        out.append(d)
+    return out, oo, meta
+
+
 def padded_seg_args(tape: CompiledTape):
     """Bucket-padded segment args for the generic executors.
 
@@ -410,6 +425,213 @@ def _scatter_outputs(arena, header_map, frame_base, outputs_map, out_ops):
 
 
 # ----------------------------------------------------------------------
+# Group step bodies: S sites of one tape in a single program (see
+# gsv_tpu.circuit.schedule).  Identical math to the per-step bodies with a
+# leading site axis on maps/bases; the wave loop's lanes widen S-fold and
+# the AES batch becomes S*cn blocks.  All statics derive from shapes.
+# ----------------------------------------------------------------------
+
+
+def _abs_idx_g(op_codes, header_maps, frame_bases, H: int):
+    """(w,) operand codes -> (S, w) absolute arena indices."""
+    ops = jnp.asarray(op_codes)
+    hdr = header_maps[:, jnp.clip(ops, 0, H - 1)]
+    return jnp.where(ops[None, :] < H, hdr, frame_bases[:, None] + ops[None, :] - H)
+
+
+def _dst_idx_g(c_slots, frame_bases):
+    return jnp.where(c_slots[None, :] < 0, _TRASH, frame_bases[:, None] + c_slots[None, :])
+
+
+def _gid64_g(gid_hi, gid_lo, local):
+    """(S,) bases + (w,) local ids -> (S, w) 64-bit gate ids."""
+    lo = gid_lo[:, None] + jnp.asarray(local, dtype=jnp.uint32)[None, :]
+    carry = (lo < gid_lo[:, None]).astype(jnp.uint32)
+    hi = gid_hi[:, None] + carry
+    return hi, lo
+
+
+def _execute_group_segs(arena, header_maps, frame_bases, segs):
+    H = header_maps.shape[1]
+    for sv in segs:
+        fa, fb, fc = sv["f_a"], sv["f_b"], sv["f_c"]
+        fbm, ffl = sv["f_bmask"], sv["f_flip"]
+        na, nb, nc = sv["n_a"], sv["n_b"], sv["n_c"]
+        ntt = sv["n_tt"]
+        n_waves, cf = fa.shape
+        cn = na.shape[1]
+
+        def body(i, arena, fa=fa, fb=fb, fc=fc, fbm=fbm, ffl=ffl, na=na,
+                 nb=nb, nc=nc, ntt=ntt, cf=cf, cn=cn):
+            if cf:
+                a = arena[_abs_idx_g(_row(fa, i), header_maps, frame_bases, H)]
+                b = arena[_abs_idx_g(_row(fb, i), header_maps, frame_bases, H)]
+                out = a ^ (b & _row(fbm, i)[None, :]) ^ _row(ffl, i)[None, :]
+                arena = arena.at[_dst_idx_g(_row(fc, i), frame_bases)].set(out)
+            if cn:
+                a = arena[_abs_idx_g(_row(na, i), header_maps, frame_bases, H)]
+                b = arena[_abs_idx_g(_row(nb, i), header_maps, frame_bases, H)]
+                tt = _row(ntt, i)[None, :]
+                out = ((tt >> (a * 2 + b)) & 1).astype(jnp.uint8)
+                arena = arena.at[_dst_idx_g(_row(nc, i), frame_bases)].set(out)
+            return arena
+
+        if n_waves == 1:
+            arena = body(0, arena)
+        else:
+            arena = jax.lax.fori_loop(0, n_waves, body, arena)
+    return arena
+
+
+def _garble_group_segs(arena, ct_token, header_maps, frame_bases, delta,
+                       gid_hi, gid_lo, ct_loc, segs, hasher="aes"):
+    """Half-gates garbling over S sites.  Ciphertext buffer rows are
+    ``S * ctb + 1``: site s's stream slice lives at ``[s*ctb, s*ctb+ct)``,
+    rows ``[s*ctb+ct, (s+1)*ctb)`` stay zero (deterministic), the last row
+    absorbs padded lanes and padded sites."""
+    H = header_maps.shape[1]
+    S = header_maps.shape[0]
+    cts = jnp.zeros((ct_token.shape[0], 4), jnp.uint32)
+    trash_row = ct_token.shape[0] - 1
+    d1 = delta[None, None, :]
+    for sv in segs:
+        fa, fb, fc = sv["f_a"], sv["f_b"], sv["f_c"]
+        fbm = _m32(sv["f_bmask"])
+        ffl = _m32(sv["f_flip"])
+        na, nb, nc = sv["n_a"], sv["n_b"], sv["n_c"]
+        ngid, nct = sv["n_gid"], sv["n_ct"]
+        aam = _m32(sv["n_aa"])
+        abm = _m32(sv["n_ab"])
+        acm = _m32(sv["n_ac"])
+        n_waves, cf = fa.shape
+        cn = na.shape[1]
+
+        def body(i, carry, fa=fa, fb=fb, fc=fc, fbm=fbm, ffl=ffl, na=na,
+                 nb=nb, nc=nc, ngid=ngid, nct=nct, aam=aam, abm=abm, acm=acm,
+                 cf=cf, cn=cn):
+            arena, cts = carry
+            if cf:
+                a = arena[_abs_idx_g(_row(fa, i), header_maps, frame_bases, H)]
+                b = arena[_abs_idx_g(_row(fb, i), header_maps, frame_bases, H)]
+                out = a ^ (b & _row(fbm, i)[None]) ^ (d1 & _row(ffl, i)[None])
+                arena = arena.at[_dst_idx_g(_row(fc, i), frame_bases)].set(out)
+            if cn:
+                a0 = arena[_abs_idx_g(_row(na, i), header_maps, frame_bases, H)]
+                b0 = arena[_abs_idx_g(_row(nb, i), header_maps, frame_bases, H)]
+                sel_a = a0 ^ (d1 & _row(aam, i)[None])
+                other_a = sel_a ^ d1
+                hi, lo = _gid64_g(gid_hi, gid_lo, _row(ngid, i))
+                h = _gate_hash2(
+                    sel_a.reshape(S * cn, 4), other_a.reshape(S * cn, 4),
+                    hi.reshape(-1), lo.reshape(-1), hasher,
+                )
+                h_sel = h[: S * cn].reshape(S, cn, 4)
+                h_other = h[S * cn :].reshape(S, cn, 4)
+                b_sel = b0 ^ (d1 & _row(abm, i)[None])
+                ct = h_sel ^ h_other ^ b_sel
+                w0 = h_sel ^ (d1 & _row(acm, i)[None])
+                arena = arena.at[_dst_idx_g(_row(nc, i), frame_bases)].set(w0)
+                nr = _row(nct, i)[None, :]
+                idx = jnp.where(nr < 0, trash_row, ct_loc[:, None] + nr)
+                idx = jnp.minimum(idx, trash_row)
+                cts = cts.at[idx].set(ct)
+            return arena, cts
+
+        if n_waves == 1:
+            arena, cts = body(0, (arena, cts))
+        else:
+            arena, cts = jax.lax.fori_loop(0, n_waves, body, (arena, cts))
+    return arena, cts
+
+
+def _evaluate_group_segs(arena, bits, cts_in, header_maps, frame_bases,
+                         gid_hi, gid_lo, ct_loc, segs, hasher="aes"):
+    H = header_maps.shape[1]
+    S = header_maps.shape[0]
+    max_ct = max(cts_in.shape[0] - 1, 0)
+    for sv in segs:
+        fa, fb, fc = sv["f_a"], sv["f_b"], sv["f_c"]
+        fbm = _m32(sv["f_bmask"])
+        fbm1 = sv["f_bmask"]
+        ffl = sv["f_flip"]
+        na, nb, nc = sv["n_a"], sv["n_b"], sv["n_c"]
+        ngid, nct = sv["n_gid"], sv["n_ct"]
+        naa, ntt = sv["n_aa"], sv["n_tt"]
+        n_waves, cf = fa.shape
+        cn = na.shape[1]
+
+        def body(i, carry, fa=fa, fb=fb, fc=fc, fbm=fbm, fbm1=fbm1, ffl=ffl,
+                 na=na, nb=nb, nc=nc, ngid=ngid, nct=nct, naa=naa, ntt=ntt,
+                 cf=cf, cn=cn):
+            arena, bits = carry
+            if cf:
+                ai = _abs_idx_g(_row(fa, i), header_maps, frame_bases, H)
+                bi = _abs_idx_g(_row(fb, i), header_maps, frame_bases, H)
+                la, lb = arena[ai], arena[bi]
+                va, vb = bits[ai], bits[bi]
+                out_l = la ^ (lb & _row(fbm, i)[None])
+                out_v = va ^ (vb & _row(fbm1, i)[None]) ^ _row(ffl, i)[None]
+                ci = _dst_idx_g(_row(fc, i), frame_bases)
+                arena = arena.at[ci].set(out_l)
+                bits = bits.at[ci].set(out_v)
+            if cn:
+                ai = _abs_idx_g(_row(na, i), header_maps, frame_bases, H)
+                bi = _abs_idx_g(_row(nb, i), header_maps, frame_bases, H)
+                la, lb = arena[ai], arena[bi]
+                va, vb = bits[ai], bits[bi]
+                hi, lo = _gid64_g(gid_hi, gid_lo, _row(ngid, i))
+                h = _gate_hash1(
+                    la.reshape(S * cn, 4), hi.reshape(-1), lo.reshape(-1), hasher
+                ).reshape(S, cn, 4)
+                nr = _row(nct, i)[None, :]
+                idx = jnp.where(nr < 0, max_ct, ct_loc[:, None] + nr)
+                ct = cts_in[jnp.clip(idx, 0, max_ct)]
+                use = (va != _row(naa, i)[None])[..., None]
+                out_l = jnp.where(use, ct ^ h ^ lb, h)
+                tt = _row(ntt, i)[None]
+                out_v = ((tt >> (va * 2 + vb)) & 1).astype(jnp.uint8)
+                ci = _dst_idx_g(_row(nc, i), frame_bases)
+                arena = arena.at[ci].set(out_l)
+                bits = bits.at[ci].set(out_v)
+            return arena, bits
+
+        if n_waves == 1:
+            arena, bits = body(0, (arena, bits))
+        else:
+            arena, bits = jax.lax.fori_loop(0, n_waves, body, (arena, bits))
+    return arena, bits
+
+
+def _scatter_outputs_g(arena, header_maps, frame_bases, outputs_maps, out_ops):
+    if out_ops.shape[0] == 0:
+        return arena
+    src = _abs_idx_g(out_ops, header_maps, frame_bases, header_maps.shape[1])
+    return arena.at[outputs_maps].set(arena[src])
+
+
+def _digest_update(digest, cts, group_id):
+    """TPU-native streaming commitment: XOR-accumulate fixed-key AES over
+    position-tweaked ciphertext rows (tweak = (group_id, row)).  Replaces the
+    reference's sequential chain h <- AES(h ^ ct) (ciphertext_hasher.rs:16-33)
+    with an associative reduction the device can do in bulk; both protocol
+    parties compute it over the same deterministic buffer layout, so it
+    serves the same consistency-check role."""
+    rows = cts.shape[0] - 1  # exclude the trash row (scatter-order dependent)
+    if rows == 0:
+        return digest
+    body = cts[:rows]
+    tw = tweak_words(
+        jnp.full((rows,), group_id, jnp.uint32),
+        jnp.arange(rows, dtype=jnp.uint32),
+        xp=jnp,
+    )
+    blocks, _ = _pad32(body ^ tw)
+    h = _aes_blocks(blocks, "aes")[:rows]
+    fold = jax.lax.reduce(h, jnp.uint32(0), jax.lax.bitwise_xor, dimensions=(0,))
+    return digest ^ fold
+
+
+# ----------------------------------------------------------------------
 # Module-level generic jit cache: ONE jit object per (mode, hasher, batch)
 # shared by every PlanExecutor in the process; XLA's aval cache then keys
 # compilations by shape signature only.
@@ -473,6 +695,261 @@ def _generic_jit(mode: str, hasher: str, batch: int | None):
 
     _GENERIC_JITS[key] = fn
     return fn
+
+
+_GROUP_JITS: dict = {}
+
+
+def _generic_group_jit(mode: str, hasher: str, batch: int | None, commit: bool = False):
+    key = ("g", mode, hasher, batch, commit)
+    fn = _GROUP_JITS.get(key)
+    if fn is not None:
+        return fn
+
+    if mode == "execute":
+
+        def step(arena, header_maps, outputs_maps, out_ops, frame_bases, segs):
+            arena = _execute_group_segs(arena, header_maps, frame_bases, segs)
+            return _scatter_outputs_g(arena, header_maps, frame_bases, outputs_maps, out_ops)
+
+        if batch:
+            step = jax.vmap(step, in_axes=(0, None, None, None, None, None))
+        fn = jax.jit(step, donate_argnums=(0,))
+    elif mode == "garble":
+
+        def step(arena, ct_token, header_maps, outputs_maps, out_ops,
+                 frame_bases, delta, gid_hi, gid_lo, ct_loc, digest, group_id, segs):
+            arena, cts = _garble_group_segs(
+                arena, ct_token, header_maps, frame_bases, delta,
+                gid_hi, gid_lo, ct_loc, segs, hasher=hasher,
+            )
+            arena = _scatter_outputs_g(arena, header_maps, frame_bases, outputs_maps, out_ops)
+            if commit:
+                digest = _digest_update(digest, cts, group_id)
+            return arena, cts, digest
+
+        if batch:
+            step = jax.vmap(
+                step,
+                in_axes=(0, None, None, None, None, None, 0, None, None, None, 0, None, None),
+            )
+        fn = jax.jit(step, donate_argnums=(0, 10))
+    elif mode == "evaluate":
+
+        def step(arena, bits, cts_in, header_maps, outputs_maps, out_ops,
+                 frame_bases, gid_hi, gid_lo, ct_loc, segs):
+            arena, bits = _evaluate_group_segs(
+                arena, bits, cts_in, header_maps, frame_bases,
+                gid_hi, gid_lo, ct_loc, segs, hasher=hasher,
+            )
+            if out_ops.shape[0]:
+                src = _abs_idx_g(out_ops, header_maps, frame_bases, header_maps.shape[1])
+                arena = arena.at[outputs_maps].set(arena[src])
+                bits = bits.at[outputs_maps].set(bits[src])
+            return arena, bits
+
+        if batch:
+            step = jax.vmap(
+                step, in_axes=(0, 0, 0, None, None, None, None, None, None, None, None)
+            )
+        fn = jax.jit(step, donate_argnums=(0, 1))
+    else:
+        raise ValueError(mode)
+
+    _GROUP_JITS[key] = fn
+    return fn
+
+
+class GroupExecutor:
+    """Runs a GroupPlan (gsv_tpu.circuit.schedule) in execute/garble/evaluate.
+
+    Same math and bit-exact streams as PlanExecutor (per-site gate-id and
+    ciphertext bases are the sequential ones); dispatches and sequential
+    waves shrink by the grouping factor.  ``commit=True`` additionally
+    maintains a running device-side stream digest (see _digest_update).
+    """
+
+    def __init__(self, gplan, batch: int | None = None, hasher: str = "aes"):
+        assert hasher in ("aes", "aes_pallas", "blake3")
+        self.plan = gplan
+        self.batch = batch
+        self.hasher = hasher
+        self._dev: dict = {}
+
+    # -- device-resident per-tape / per-group data -----------------------
+
+    def _seg_dev(self, tape):
+        key = ("gsegs", tape.content_key)
+        dev = self._dev.get(key)
+        if dev is None:
+            segs_np, oo_np, meta = padded_seg_args_group(tape)
+            segs = [{f: jnp.asarray(v) for f, v in d.items()} for d in segs_np]
+            dev = (segs, jnp.asarray(oo_np), meta)
+            self._dev[key] = dev
+        return dev
+
+    def _group_dev(self, g, gidx: int):
+        key = ("gmaps", id(g))
+        dev = self._dev.get(key)
+        if dev is None:
+            _, _, meta = self._seg_dev(g.tape)
+            Hb, ob, ctb = meta["Hb"], meta["ob"], meta["ctb"]
+            S = g.header_maps.shape[0]
+            hm = np.full((S, Hb), _TRASH, dtype=np.int32)
+            hm[:, : g.header_maps.shape[1]] = g.header_maps
+            om = np.full((S, max(ob, 1)), _TRASH, dtype=np.int32)
+            if g.outputs_maps.shape[1]:
+                om[:, : g.outputs_maps.shape[1]] = g.outputs_maps
+            trash_row = S * ctb
+            ct_loc = np.where(
+                np.arange(S) < g.n_real,
+                np.arange(S, dtype=np.int64) * ctb,
+                trash_row,
+            ).astype(np.int32)
+            token = jnp.zeros((trash_row + 1, 0), jnp.uint32)
+            dev = (
+                jnp.asarray(hm),
+                jnp.asarray(om),
+                jnp.asarray(g.frame_bases.astype(np.int32)),
+                jnp.asarray((g.gid_bases >> 32).astype(np.uint32)),
+                jnp.asarray((g.gid_bases & 0xFFFFFFFF).astype(np.uint32)),
+                jnp.asarray(ct_loc),
+                token,
+                jnp.uint32(gidx),
+            )
+            self._dev[key] = dev
+        return dev
+
+    def _progress(self, phase: str):
+        from gsv_tpu.core.progress import ProgressLogger
+
+        return ProgressLogger(phase)
+
+    def _copy_fn(self, mode: str):
+        key = ("copy", mode)
+        fn = self._dev.get(key)
+        if fn is None:
+            if mode == "evaluate":
+
+                def cp(arena, bits, src, dst):
+                    return arena.at[dst].set(arena[src]), bits.at[dst].set(bits[src])
+
+                if self.batch:
+                    cp = jax.vmap(cp, in_axes=(0, 0, None, None))
+                fn = jax.jit(cp, donate_argnums=(0, 1))
+            else:
+
+                def cp(arena, src, dst):
+                    return arena.at[dst].set(arena[src])
+
+                if self.batch:
+                    cp = jax.vmap(cp, in_axes=(0, None, None))
+                fn = jax.jit(cp, donate_argnums=(0,))
+            self._dev[key] = fn
+        return fn
+
+    # -- drivers ---------------------------------------------------------
+
+    def execute(self, input_bits: np.ndarray):
+        from gsv_tpu.circuit.schedule import GroupStep
+
+        plan = self.plan
+        batched = self.batch
+        shape = (batched, plan.arena_size) if batched else (plan.arena_size,)
+        arena = np.zeros(shape, dtype=np.uint8)
+        arena[..., 1] = 1
+        arena[..., plan.input_abs] = input_bits
+        arena = jnp.asarray(arena)
+        jfn = _generic_group_jit("execute", self.hasher, batched)
+        prog = self._progress("executed")
+        for gi, g in enumerate(plan.steps):
+            if isinstance(g, GroupStep):
+                segs, oo, _ = self._seg_dev(g.tape)
+                hm, om, fb, _, _, _, _, _ = self._group_dev(g, gi)
+                arena = jfn(arena, hm, om, oo, fb, segs)
+                prog.advance(g.tape.total_gates * g.n_real)
+            else:
+                arena = self._copy_fn("execute")(
+                    arena, jnp.asarray(g.src), jnp.asarray(g.dst)
+                )
+        arena = np.asarray(arena)
+        return arena[..., plan.output_abs]
+
+    def garble(self, input_label0s, delta, false_label0, true_label0,
+               ct_handler=None, commit: bool = False):
+        """Returns (output_label0s, arena, digest) — digest is None unless
+        ``commit``; ``ct_handler(group, cts, meta)`` receives each group's
+        device ciphertext buffer (see GroupStep layout)."""
+        from gsv_tpu.circuit.schedule import GroupStep
+
+        plan = self.plan
+        batched = self.batch
+        shape = (batched, plan.arena_size, 4) if batched else (plan.arena_size, 4)
+        arena = np.zeros(shape, dtype=np.uint32)
+        arena[..., 0, :] = false_label0
+        arena[..., 1, :] = true_label0
+        arena[..., plan.input_abs, :] = input_label0s
+        arena = jnp.asarray(arena)
+        delta = jnp.asarray(delta, dtype=jnp.uint32)
+        digest = jnp.zeros((batched, 4) if batched else (4,), jnp.uint32)
+        jfn = _generic_group_jit("garble", self.hasher, batched, commit)
+        prog = self._progress("garbled")
+        for gi, g in enumerate(plan.steps):
+            if isinstance(g, GroupStep):
+                segs, oo, meta = self._seg_dev(g.tape)
+                hm, om, fb, ghi, glo, ct_loc, token, gid = self._group_dev(g, gi)
+                arena, cts, digest = jfn(
+                    arena, token, hm, om, oo, fb, delta, ghi, glo, ct_loc,
+                    digest, gid, segs,
+                )
+                if ct_handler is not None and g.tape.ct_count:
+                    ct_handler(g, cts, meta)
+                prog.advance(g.tape.total_gates * g.n_real)
+            else:
+                arena = self._copy_fn("execute")(
+                    arena, jnp.asarray(g.src), jnp.asarray(g.dst)
+                )
+        out = np.asarray(arena[..., plan.output_abs, :])
+        return out, arena, (np.asarray(digest) if commit else None)
+
+    def evaluate(self, input_labels, input_bits, false_active, true_active, ct_source):
+        """``ct_source(group, meta)`` must return that group's ciphertext
+        buffer ((S*ctb+1, 4) or batched) in the GroupStep layout."""
+        from gsv_tpu.circuit.schedule import GroupStep
+
+        plan = self.plan
+        batched = self.batch
+        lshape = (batched, plan.arena_size, 4) if batched else (plan.arena_size, 4)
+        bshape = (batched, plan.arena_size) if batched else (plan.arena_size,)
+        arena = np.zeros(lshape, dtype=np.uint32)
+        bits = np.zeros(bshape, dtype=np.uint8)
+        arena[..., 0, :] = false_active
+        arena[..., 1, :] = true_active
+        bits[..., 1] = 1
+        arena[..., plan.input_abs, :] = input_labels
+        bits[..., plan.input_abs] = input_bits
+        arena = jnp.asarray(arena)
+        bits = jnp.asarray(bits)
+        jfn = _generic_group_jit("evaluate", self.hasher, batched)
+        prog = self._progress("evaluated")
+        for gi, g in enumerate(plan.steps):
+            if isinstance(g, GroupStep):
+                segs, oo, meta = self._seg_dev(g.tape)
+                hm, om, fb, ghi, glo, ct_loc, _, _ = self._group_dev(g, gi)
+                cts_in = ct_source(g, meta)
+                arena, bits = jfn(
+                    arena, bits, jnp.asarray(cts_in), hm, om, oo, fb,
+                    ghi, glo, ct_loc, segs,
+                )
+                prog.advance(g.tape.total_gates * g.n_real)
+            else:
+                arena, bits = self._copy_fn("evaluate")(
+                    arena, bits, jnp.asarray(g.src), jnp.asarray(g.dst)
+                )
+        return (
+            np.asarray(arena[..., plan.output_abs, :]),
+            np.asarray(bits[..., plan.output_abs]),
+        )
 
 
 # ----------------------------------------------------------------------

@@ -75,10 +75,13 @@ class CircuitRunner:
         n_inputs: int,
         flatten_max: int = 1 << 20,
         cache: TemplateCache | None = None,
+        uniform_constants: bool = False,
     ):
         self.fn = fn
         self.n_inputs = n_inputs
-        self.template, self.cache = trace_circuit(fn, n_inputs, cache)
+        self.template, self.cache = trace_circuit(
+            fn, n_inputs, cache, uniform_constants=uniform_constants
+        )
         self.compiler = Compiler(flatten_max=flatten_max)
         self.spec = self.compiler.compile(self.template)
         self.plan: Plan = link(self.spec, n_inputs)

@@ -570,11 +570,24 @@ def compile_tape(template: Template, live_out: tuple) -> CompiledTape:
 # ----------------------------------------------------------------------
 
 
+def _has_barrier(template: Template) -> bool:
+    """True when the subtree contains a barrier component (never inlined
+    into a flat tape — its constant wiring must stay in step headers)."""
+    hb = getattr(template, "_hb", None)
+    if hb is None:
+        hb = getattr(template, "barrier", False) or any(
+            _has_barrier(c.template) for c in template.calls
+        )
+        template._hb = hb
+    return hb
+
+
 class Compiler:
     """Compiles (template, live-mask) specs with memoization.
 
     ``flatten_max``: subtrees with at most this many total gates become one
     CompiledTape; larger ones become SuperPrograms over their children.
+    Subtrees containing barrier components always stay SuperPrograms.
     """
 
     def __init__(self, flatten_max: int = 1 << 20):
@@ -587,7 +600,8 @@ class Compiler:
         key = (id(template), tuple(live_out))
         got = self._cache.get(key)
         if got is None:
-            if template.total_gates <= self.flatten_max or not template.calls:
+            flat_ok = template.total_gates <= self.flatten_max or not template.calls
+            if flat_ok and not (template.calls and _has_barrier(template)):
                 got = compile_tape(template, tuple(live_out))
             else:
                 got = self._compile_super(template, tuple(live_out))

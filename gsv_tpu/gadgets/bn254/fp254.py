@@ -166,7 +166,7 @@ def square_montgomery(ctx, a: BigIntWires, *, fp: FieldParams) -> BigIntWires:
 
 
 @component(offcircuit=("b", "fp"), name="fp254.mul_by_constant_montgomery")
-def mul_by_constant_montgomery(
+def _mul_by_constant_montgomery_baked(
     ctx, a: BigIntWires, *, b: int, fp: FieldParams
 ) -> BigIntWires:
     """Montgomery-form wire times standard-form constant (fp254impl.rs:252-271)."""
@@ -178,6 +178,38 @@ def mul_by_constant_montgomery(
         return a.clone()
     mul_res = bigint.mul_by_constant(ctx, a, c=b)
     return montgomery_reduce(ctx, mul_res, fp=fp)
+
+
+@component(
+    offcircuit=("b", "fp"), name="fp254.mul_by_constant_montgomery.u", barrier=True
+)
+def _mul_by_constant_montgomery_uniform(
+    ctx, a: BigIntWires, *, b: int, fp: FieldParams
+) -> BigIntWires:
+    """Uniform-shape constant mul: the constant enters as FALSE/TRUE header
+    wires through the generic Karatsuba multiplier, so every constant shares
+    the same compiled tapes (signature/content collapse for the TPU executor;
+    ``barrier`` keeps the constant wiring in step headers).  The gate stream
+    differs from the reference's zero-bit-skipping schoolbook
+    (fp254impl.rs:252-271) by ~+0.8%% total gates — parity mode keeps the
+    baked variant."""
+    const = BigIntWires.new_constant(fp.n_bits, b)
+    mul_res = bigint.mul(ctx, a, const)
+    return montgomery_reduce(ctx, mul_res, fp=fp)
+
+
+def mul_by_constant_montgomery(
+    ctx, a: BigIntWires, *, b: int, fp: FieldParams
+) -> BigIntWires:
+    """Dispatch on the trace-wide constant-gadget mode (TraceCtx.uniform_constants)."""
+    if getattr(ctx, "uniform_constants", False):
+        b = b % fp.modulus
+        if b == 0:
+            return BigIntWires.new_constant(fp.n_bits, 0)
+        if b == fp.to_mont(1):
+            return a.clone()
+        return _mul_by_constant_montgomery_uniform(ctx, a, b=b, fp=fp)
+    return _mul_by_constant_montgomery_baked(ctx, a, b=b, fp=fp)
 
 
 @component(offcircuit=("fp",), name="fp254.montgomery_reduce")

@@ -25,6 +25,10 @@ class Groth16VerifierModel:
     n_public: int
     compressed: bool = True
     flatten_max: int = 1 << 20
+    # uniform-shape constant gadgets (TPU fast path: collapses compile
+    # signatures and tape content; gate stream deviates ~+0.8% from the
+    # reference's — keep False for parity/badge work)
+    uniform_constants: bool = False
 
     _runner: CircuitRunner = None
 
@@ -32,7 +36,12 @@ class Groth16VerifierModel:
     def runner(self) -> CircuitRunner:
         if self._runner is None:
             fn, n_inputs = build_2pc_circuit(self.vk, self.n_public, self.compressed)
-            self._runner = CircuitRunner(fn, n_inputs, flatten_max=self.flatten_max)
+            self._runner = CircuitRunner(
+                fn,
+                n_inputs,
+                flatten_max=self.flatten_max,
+                uniform_constants=self.uniform_constants,
+            )
         return self._runner
 
 

@@ -1,0 +1,154 @@
+"""Grouped execution (schedule.py + GroupExecutor) vs the sequential
+PlanExecutor: identical outputs, bit-identical ciphertext streams, identical
+evaluation — the grouped path only reorders independent steps and renames
+slots, so everything observable must match exactly."""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, ".")
+
+from gsv_tpu.circuit import trace_circuit
+from gsv_tpu.circuit.link import link
+from gsv_tpu.circuit.runtime import GroupExecutor, PlanExecutor
+from gsv_tpu.circuit.schedule import GroupStep, scatter_group_cts, schedule_plan
+from gsv_tpu.circuit.tape import Compiler
+from gsv_tpu.core.labels import (
+    int_array_from_words,
+    words_from_int,
+    words_from_int_array,
+)
+from gsv_tpu.core.rng import GarblerRng
+from gsv_tpu.gadgets import bigint
+from gsv_tpu.gadgets.bigint import BigIntWires
+
+W = 8  # bigint width
+N_IN = 4 * W
+
+
+def _circ(ctx, ins):
+    """Four independent adds (groupable) feeding a dependent combine."""
+    a = BigIntWires(ins[0:W])
+    b = BigIntWires(ins[W : 2 * W])
+    c = BigIntWires(ins[2 * W : 3 * W])
+    d = BigIntWires(ins[3 * W : 4 * W])
+    ab = bigint.add_without_carry(ctx, a, b)
+    cd = bigint.add_without_carry(ctx, c, d)
+    ac = bigint.add_without_carry(ctx, a, c)
+    bd = bigint.add_without_carry(ctx, b, d)
+    x = bigint.add_without_carry(ctx, ab, cd)
+    y = bigint.add_without_carry(ctx, ac, bd)
+    m = bigint.mul(ctx, x, y)
+    return m.bits
+
+
+@pytest.fixture(scope="module")
+def plans():
+    tmpl, _ = trace_circuit(_circ, N_IN)
+    plan = link(Compiler(flatten_max=200).compile(tmpl), N_IN)
+    gplan = schedule_plan(plan)
+    return plan, gplan
+
+
+def _rand_bits(rng):
+    return rng.integers(0, 2, size=N_IN).astype(np.uint8)
+
+
+def test_structure(plans):
+    plan, gplan = plans
+    groups = [g for g in gplan.steps if isinstance(g, GroupStep)]
+    assert any(g.n_real >= 2 for g in groups), "no grouping happened"
+    assert gplan.n_dispatches < len(plan.steps)
+    assert gplan.total_gates == plan.total_gates
+    assert gplan.ct_count == plan.ct_count
+
+
+@pytest.mark.parametrize("batch", [None, 3])
+def test_execute_matches(plans, batch):
+    plan, gplan = plans
+    rng = np.random.default_rng(7)
+    bits = _rand_bits(rng) if batch is None else np.stack([_rand_bits(rng) for _ in range(batch)])
+    want = PlanExecutor(plan, batch=batch).execute(bits)
+    got = GroupExecutor(gplan, batch=batch).execute(bits)
+    assert (np.asarray(want) == np.asarray(got)).all()
+
+
+def _garble_both(plan, gplan, seed=5, commit=False):
+    rng = GarblerRng(seed)
+    in_l0 = [rng.issue_label0() for _ in range(N_IN)]
+    args = (
+        words_from_int_array(in_l0),
+        words_from_int(rng.delta),
+        words_from_int(rng.false_label0),
+        words_from_int(rng.true_label0),
+    )
+    seq_cts = []
+    out_seq, _ = PlanExecutor(plan).garble(*args, ct_handler=lambda c: seq_cts.append(np.asarray(c)))
+    stream_seq = np.concatenate(seq_cts) if seq_cts else np.zeros((0, 4), np.uint32)
+
+    stream_grp = np.zeros_like(stream_seq)
+    gex = GroupExecutor(gplan)
+
+    def handler(g, cts, meta):
+        scatter_group_cts(g, np.asarray(cts), meta["ctb"], stream_grp)
+
+    out_grp, _, digest = gex.garble(*args, ct_handler=handler, commit=commit)
+    return out_seq, out_grp, stream_seq, stream_grp, digest, rng, in_l0
+
+
+def test_garble_matches(plans):
+    plan, gplan = plans
+    out_seq, out_grp, stream_seq, stream_grp, digest, _, _ = _garble_both(plan, gplan)
+    assert (out_seq == out_grp).all()
+    assert (stream_seq == stream_grp).all()
+    assert digest is None
+
+
+def test_garble_commit_digest(plans):
+    plan, gplan = plans
+    *_, d1, _, _ = _garble_both(plan, gplan, seed=5, commit=True)
+    *_, d2, _, _ = _garble_both(plan, gplan, seed=5, commit=True)
+    *_, d3, _, _ = _garble_both(plan, gplan, seed=6, commit=True)
+    assert d1 is not None and (d1 == d2).all()
+    assert (d1 != d3).any()
+
+
+def test_evaluate_matches(plans):
+    plan, gplan = plans
+    out_seq, out_grp, stream, _, _, rng0, in_l0 = _garble_both(plan, gplan)
+    delta = rng0.delta
+    g5 = GarblerRng(5)
+    bits = np.random.default_rng(3).integers(0, 2, size=N_IN).astype(np.uint8)
+    inl = [l ^ (delta if b else 0) for l, b in zip(in_l0, bits)]
+    eval_args = (
+        words_from_int_array(inl),
+        bits,
+        words_from_int(g5.false_label0),
+        words_from_int(g5.true_label0 ^ delta),
+    )
+    lab_seq, val_seq = PlanExecutor(plan).evaluate(
+        *eval_args, ct_source=lambda base, cnt: stream[base : base + cnt]
+    )
+
+    def gsource(g, meta):
+        ctb = meta["ctb"]
+        S = g.header_maps.shape[0]
+        buf = np.zeros((S * ctb + 1, 4), np.uint32)
+        ct = g.tape.ct_count
+        for s in range(g.n_real):
+            base = int(g.ct_bases[s])
+            buf[s * ctb : s * ctb + ct] = stream[base : base + ct]
+        return buf
+
+    lab_grp, val_grp = GroupExecutor(gplan).evaluate(*eval_args, ct_source=gsource)
+    assert (np.asarray(val_seq) == np.asarray(val_grp)).all()
+    assert (np.asarray(lab_seq) == np.asarray(lab_grp)).all()
+    # 2PC invariant: active output label == label0 ^ value*delta
+    for lab, w0, v in zip(
+        int_array_from_words(lab_grp),
+        int_array_from_words(out_seq),
+        np.asarray(val_grp).tolist(),
+    ):
+        assert lab == (w0 ^ (delta if v else 0))
