@@ -54,6 +54,16 @@ def _pick_bucket(n: int, grid) -> int:
     return n
 
 
+def _cap_to_bucket(cap: int, grid) -> int:
+    """Largest grid bucket <= cap (chunking by this keeps padded sizes
+    within budget; _pick_bucket can only round up to it)."""
+    b = 1
+    for g in grid:
+        if g <= cap:
+            b = g
+    return b
+
+
 @dataclass
 class GroupStep:
     """S sites of one tape executed as a single device dispatch."""
@@ -99,6 +109,7 @@ def schedule_plan(
     plan: Plan,
     scratch_budget: int = 2_000_000,
     s_grid: tuple = _S_GRID,
+    ct_budget_rows: int = 2_000_000,
 ) -> GroupPlan:
     """Greedy ready-max grouping + value renaming over a linked Plan."""
     steps = plan.steps
@@ -159,8 +170,13 @@ def schedule_plan(
         best = max(ready.items(), key=lambda kv: len(kv[1]))[0]
         batch = ready.pop(best)
         if best != "__copy__":
-            fs = steps[batch[0]].tape.frame_size
-            cap = max(1, scratch_budget // max(fs, 1))
+            tape0 = steps[batch[0]].tape
+            # budget both scratch slots and the garble ciphertext buffer
+            # (S * ct_count rows per dispatch — device-memory bound at
+            # batch>=32); clamp to a grid bucket so padding can't exceed it
+            cap = max(1, scratch_budget // max(tape0.frame_size, 1))
+            cap = min(cap, max(1, ct_budget_rows // max(tape0.ct_count, 1)))
+            cap = _cap_to_bucket(cap, s_grid)
         else:
             cap = len(batch)
         for k in range(0, len(batch), cap):

@@ -65,6 +65,21 @@ def test_structure(plans):
     assert gplan.ct_count == plan.ct_count
 
 
+def test_ct_budget_caps_group_size(plans):
+    plan, _ = plans
+    tapes = [s for s in plan.steps if hasattr(s, "tape") and s.tape.ct_count]
+    min_ct = min(s.tape.ct_count for s in tapes)
+    budget = 4 * min_ct  # forces S*ct_count <= budget even after padding
+    gplan = schedule_plan(plan, ct_budget_rows=budget)
+    for g in gplan.steps:
+        if isinstance(g, GroupStep) and g.tape.ct_count:
+            assert g.header_maps.shape[0] * g.tape.ct_count <= budget
+    # capped plan still garbles to the identical stream
+    out_seq, out_grp, stream_seq, stream_grp, *_ = _garble_both(plan, gplan)
+    assert (out_seq == out_grp).all()
+    assert (stream_seq == stream_grp).all()
+
+
 @pytest.mark.parametrize("batch", [None, 3])
 def test_execute_matches(plans, batch):
     plan, gplan = plans
