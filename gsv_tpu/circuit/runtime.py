@@ -825,6 +825,16 @@ class GroupExecutor:
 
         return ProgressLogger(phase)
 
+    def _copy_dev(self, g):
+        """Device-resident src/dst index arrays for a CopyStep (uploading
+        through the tunnel once, not once per pass)."""
+        key = ("gcopy", id(g))
+        dev = self._dev.get(key)
+        if dev is None:
+            dev = (jnp.asarray(g.src), jnp.asarray(g.dst))
+            self._dev[key] = dev
+        return dev
+
     def _copy_fn(self, mode: str):
         key = ("copy", mode)
         fn = self._dev.get(key)
@@ -869,9 +879,8 @@ class GroupExecutor:
                 arena = jfn(arena, hm, om, oo, fb, segs)
                 prog.advance(g.tape.total_gates * g.n_real)
             else:
-                arena = self._copy_fn("execute")(
-                    arena, jnp.asarray(g.src), jnp.asarray(g.dst)
-                )
+                src, dst = self._copy_dev(g)
+                arena = self._copy_fn("execute")(arena, src, dst)
         arena = np.asarray(arena)
         return arena[..., plan.output_abs]
 
@@ -906,9 +915,8 @@ class GroupExecutor:
                     ct_handler(g, cts, meta)
                 prog.advance(g.tape.total_gates * g.n_real)
             else:
-                arena = self._copy_fn("execute")(
-                    arena, jnp.asarray(g.src), jnp.asarray(g.dst)
-                )
+                src, dst = self._copy_dev(g)
+                arena = self._copy_fn("execute")(arena, src, dst)
         out = np.asarray(arena[..., plan.output_abs, :])
         return out, arena, (np.asarray(digest) if commit else None)
 
@@ -943,9 +951,8 @@ class GroupExecutor:
                 )
                 prog.advance(g.tape.total_gates * g.n_real)
             else:
-                arena, bits = self._copy_fn("evaluate")(
-                    arena, bits, jnp.asarray(g.src), jnp.asarray(g.dst)
-                )
+                src, dst = self._copy_dev(g)
+                arena, bits = self._copy_fn("evaluate")(arena, bits, src, dst)
         return (
             np.asarray(arena[..., plan.output_abs, :]),
             np.asarray(bits[..., plan.output_abs]),

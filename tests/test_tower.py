@@ -1,0 +1,348 @@
+"""Hermetic execute-mode matrix for the BN254 tower/curve/pairing gadgets.
+
+Mirrors the reference's `test_field!` / curve test macros
+(/root/reference/src/gadgets/bn254/test_macros.rs, fq2.rs/fq6.rs/fq12.rs
+`#[cfg(test)]`): random inputs, run the compiled circuit in execute mode,
+compare against the host oracle (gsv_tpu.bn254_host).  All ops share ONE
+trace+compile+execute (a single combined circuit) so the whole matrix costs
+one compile; each test then checks one op's decoded output.
+
+(VERDICT r1 Weak #4: tower/curve regressions must be caught by the default
+suite, not only by GSV_SLOW/validate_stages.)
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from gsv_tpu.bn254_host import curve as hc
+import importlib
+
+hp = importlib.import_module("gsv_tpu.bn254_host.pairing")
+from gsv_tpu.bn254_host.field import Fq as HFq, Fq2 as HFq2, Fq6 as HFq6, Fq12 as HFq12
+from gsv_tpu.circuit import trace_circuit
+from gsv_tpu.circuit.link import link
+from gsv_tpu.circuit.runtime import PlanExecutor
+from gsv_tpu.circuit.tape import Compiler
+from gsv_tpu.gadgets.bigint import BigIntWires
+from gsv_tpu.gadgets.bn254 import fp254
+from gsv_tpu.gadgets.bn254 import pairing as cp
+from gsv_tpu.gadgets.bn254.encode import (
+    dec_fq,
+    dec_fq2,
+    dec_fq6,
+    dec_fq12,
+    dec_many_fq,
+    enc_fq,
+    enc_fq2,
+    enc_fq6,
+    enc_fq12,
+    wire_fq,
+    wire_fq2,
+    wire_fq6,
+    wire_fq12,
+    wire_g1,
+    wire_g2,
+)
+from gsv_tpu.gadgets.bn254.fp254 import FQ_PARAMS as FP
+from gsv_tpu.gadgets.bn254.fq2 import Fq2Ops
+from gsv_tpu.gadgets.bn254.fq6 import Fq6Ops
+from gsv_tpu.gadgets.bn254.fq12 import Fq12Ops
+from gsv_tpu.gadgets.bn254.g1 import G1Ops
+from gsv_tpu.gadgets.bn254.g2 import G2Ops
+from gsv_tpu.gadgets.groth16 import projective_to_affine_montgomery
+
+P = FP.modulus
+rng = random.Random(20260817)
+
+
+def _rfq2():
+    return HFq2(HFq(rng.randrange(P)), HFq(rng.randrange(P)))
+
+
+def _rfq6():
+    return HFq6(_rfq2(), _rfq2(), _rfq2())
+
+
+def _rfq12():
+    return HFq12(_rfq6(), _rfq6())
+
+
+# ---- deterministic test inputs ------------------------------------------
+
+A2, B2 = _rfq2(), _rfq2()
+AQ = rng.randrange(P)
+A6, B6 = _rfq6(), _rfq6()
+A12, B12 = _rfq12(), _rfq12()
+C0, C3, C4 = _rfq2(), _rfq2(), _rfq2()
+# cyclotomic-subgroup element (unit norm): easy part of final exp
+_u = A12.frobenius(6) * A12.inv()
+CYC = _u.frobenius(2) * _u
+P1 = hc.G1Jac.from_affine(hc.g1_gen().mul(rng.getrandbits(100))).double()
+P2 = hc.G1Jac.from_affine(hc.g1_gen().mul(rng.getrandbits(100))).double()
+Q1 = hc.G2Jac.from_affine(hc.g2_gen().mul(rng.getrandbits(100))).double()
+Q2 = hc.G2Jac.from_affine(hc.g2_gen().mul(rng.getrandbits(100))).double()
+ELL_P = hc.g1_gen()
+ELL_Q = hc.g2_gen()
+ONE2 = HFq2(HFq(1), HFq(0))
+# constant-mul gadgets take the constant ALREADY in Montgomery form (the
+# caller-encodes convention pinned in tests/test_gadgets.py r1)
+B2M = HFq2(HFq(FP.to_mont(int(B2.c0))), HFq(FP.to_mont(int(B2.c1))))
+
+
+def _enc_jac1(p):
+    return enc_fq(int(p.x)) + enc_fq(int(p.y)) + enc_fq(int(p.z))
+
+
+def _enc_jac2(p):
+    return enc_fq2(p.x) + enc_fq2(p.y) + enc_fq2(p.z)
+
+
+IN_BITS = (
+    enc_fq2(A2) + enc_fq2(B2)            # 0:  a2, b2
+    + enc_fq(AQ)                          # 4:  aq
+    + enc_fq6(A6) + enc_fq6(B6)           # 5:  a6, b6
+    + enc_fq12(A12) + enc_fq12(B12)       # 17: a12, b12
+    + enc_fq2(C0) + enc_fq2(C3) + enc_fq2(C4)  # 41: sparse coeffs
+    + enc_fq12(CYC)                       # 47: cyclotomic element
+    + _enc_jac1(P1) + _enc_jac1(P2)       # 59: g1 points
+    + _enc_jac2(Q1) + _enc_jac2(Q2)       # 65: g2 points
+    + enc_fq(int(ELL_P.x)) + enc_fq(int(ELL_P.y)) + enc_fq(1)   # 77
+    + enc_fq2(ELL_Q.x) + enc_fq2(ELL_Q.y) + enc_fq2(ONE2)       # 80
+)
+
+
+SPEC = [
+    ("fq.square", 254), ("fq.inverse", 254),
+    ("fq2.mul", 508), ("fq2.square", 508), ("fq2.add", 508),
+    ("fq2.sub", 508), ("fq2.double", 508), ("fq2.triple", 508),
+    ("fq2.half", 508), ("fq2.div6", 508), ("fq2.nonresidue", 508),
+    ("fq2.frob1", 508), ("fq2.conj", 508), ("fq2.mul_const", 508),
+    ("fq2.mul_by_fq", 508),
+    ("fq6.mul", 1524), ("fq6.square", 1524), ("fq6.nonresidue", 1524),
+    ("fq6.mul_by_01", 1524), ("fq6.mul_by_fq2", 1524),
+    ("fq6.frob1", 1524), ("fq6.frob2", 1524), ("fq6.triple", 1524),
+    ("fq6.div6", 1524),
+    ("fq12.mul", 3048), ("fq12.square", 3048), ("fq12.cyc_square", 3048),
+    ("fq12.mul_by_034", 3048), ("fq12.mul_by_34", 3048),
+    ("fq12.frob1", 3048), ("fq12.frob2", 3048), ("fq12.frob3", 3048),
+    ("fq12.conj", 3048),
+    ("g1.add", 762), ("g1.double", 762), ("g1.neg", 762),
+    ("g2.add", 1524), ("g2.double", 1524),
+    ("affine", 762), ("ell", 3048),
+]
+
+
+def _build(ctx, ins):
+    a2, b2 = wire_fq2(ins, 0), wire_fq2(ins, 2)
+    aq = wire_fq(ins, 4)
+    a6, b6 = wire_fq6(ins, 5), wire_fq6(ins, 11)
+    a12, b12 = wire_fq12(ins, 17), wire_fq12(ins, 29)
+    c0, c3, c4 = wire_fq2(ins, 41), wire_fq2(ins, 43), wire_fq2(ins, 45)
+    cyc = wire_fq12(ins, 47)
+    p1, p2 = wire_g1(ins, 59), wire_g1(ins, 62)
+    q1, q2 = wire_g2(ins, 65), wire_g2(ins, 71)
+    ep = wire_g1(ins, 77)
+    eq = wire_g2(ins, 80)
+
+    outs = {}
+    outs["fq.square"] = fp254.square_montgomery(ctx, aq.n, fp=FP)
+    outs["fq.inverse"] = fp254.inverse_montgomery(ctx, aq.n, fp=FP)
+    outs["fq2.mul"] = Fq2Ops.mul_montgomery(ctx, a2, b2)
+    outs["fq2.square"] = Fq2Ops.square_montgomery(ctx, a2)
+    outs["fq2.add"] = Fq2Ops.add(ctx, a2, b2)
+    outs["fq2.sub"] = Fq2Ops.sub(ctx, a2, b2)
+    outs["fq2.double"] = Fq2Ops.double(ctx, a2)
+    outs["fq2.triple"] = Fq2Ops.triple(ctx, a2)
+    outs["fq2.half"] = Fq2Ops.half(ctx, a2)
+    outs["fq2.div6"] = Fq2Ops.div6(ctx, a2)
+    outs["fq2.nonresidue"] = Fq2Ops.mul_by_nonresidue(ctx, a2)
+    outs["fq2.frob1"] = Fq2Ops.frobenius_montgomery(ctx, a2, 1)
+    outs["fq2.conj"] = Fq2Ops.conjugate(ctx, a2)
+    outs["fq2.mul_const"] = Fq2Ops.mul_by_constant_montgomery(ctx, a2, B2M)
+    outs["fq2.mul_by_fq"] = Fq2Ops.mul_by_fq_montgomery(ctx, a2, aq)
+    outs["fq6.mul"] = Fq6Ops.mul_montgomery(ctx, a6, b6)
+    outs["fq6.square"] = Fq6Ops.square_montgomery(ctx, a6)
+    outs["fq6.nonresidue"] = Fq6Ops.mul_by_nonresidue(ctx, a6)
+    outs["fq6.mul_by_01"] = Fq6Ops.mul_by_01_montgomery(ctx, a6, c0, c3)
+    outs["fq6.mul_by_fq2"] = Fq6Ops.mul_by_fq2_montgomery(ctx, a6, c0)
+    outs["fq6.frob1"] = Fq6Ops.frobenius_montgomery(ctx, a6, 1)
+    outs["fq6.frob2"] = Fq6Ops.frobenius_montgomery(ctx, a6, 2)
+    outs["fq6.triple"] = Fq6Ops.triple(ctx, a6)
+    outs["fq6.div6"] = Fq6Ops.div6(ctx, a6)
+    outs["fq12.mul"] = Fq12Ops.mul_montgomery(ctx, a12, b12)
+    outs["fq12.square"] = Fq12Ops.square_montgomery(ctx, a12)
+    outs["fq12.cyc_square"] = Fq12Ops.cyclotomic_square_montgomery(ctx, cyc)
+    outs["fq12.mul_by_034"] = Fq12Ops.mul_by_034_montgomery(ctx, a12, c0, c3, c4)
+    outs["fq12.mul_by_34"] = Fq12Ops.mul_by_34_montgomery(ctx, a12, c3, c4)
+    outs["fq12.frob1"] = Fq12Ops.frobenius_montgomery(ctx, a12, 1)
+    outs["fq12.frob2"] = Fq12Ops.frobenius_montgomery(ctx, a12, 2)
+    outs["fq12.frob3"] = Fq12Ops.frobenius_montgomery(ctx, a12, 3)
+    outs["fq12.conj"] = Fq12Ops.conjugate(ctx, a12)
+    outs["g1.add"] = G1Ops.add_montgomery(ctx, p1, p2)
+    outs["g1.double"] = G1Ops.double_montgomery(ctx, p1)
+    outs["g1.neg"] = G1Ops.neg(ctx, p1)
+    outs["g2.add"] = G2Ops.add_montgomery(ctx, q1, q2)
+    outs["g2.double"] = G2Ops.double_montgomery(ctx, q1)
+    outs["affine"] = projective_to_affine_montgomery(ctx, p1)
+    rw, coeffs = cp.double_in_place_circuit_montgomery(
+        ctx, type(eq)(eq.x, eq.y, eq.z)
+    )
+    outs["ell"] = cp.ell_montgomery(ctx, a12, coeffs, ep)
+    assert set(outs) == {n for n, _ in SPEC}
+    return [outs[n] for n, _ in SPEC]
+
+
+@pytest.fixture(scope="module")
+def tower():
+    tmpl, _ = trace_circuit(lambda ctx, ins: _build(ctx, ins), len(IN_BITS))
+    plan = link(Compiler().compile(tmpl), len(IN_BITS))
+    out = PlanExecutor(plan).execute(
+        np.array([int(b) for b in IN_BITS], np.uint8)
+    )
+    bits = [bool(v) for v in out]
+    res, off = {}, 0
+    for name, size in SPEC:
+        res[name] = bits[off : off + size]
+        off += size
+    assert off == len(bits), f"output length mismatch: {off} != {len(bits)}"
+    return res
+
+
+# ---- fq ------------------------------------------------------------------
+
+def test_fq_square(tower):
+    assert dec_fq(tower["fq.square"]) == AQ * AQ % P
+
+
+def test_fq_inverse(tower):
+    assert dec_fq(tower["fq.inverse"]) == pow(AQ, P - 2, P)
+
+
+# ---- fq2 -----------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "op,want",
+    [
+        ("fq2.mul", lambda: A2 * B2),
+        ("fq2.square", lambda: A2 * A2),
+        ("fq2.add", lambda: A2 + B2),
+        ("fq2.sub", lambda: A2 - B2),
+        ("fq2.double", lambda: A2 + A2),
+        ("fq2.triple", lambda: A2 + A2 + A2),
+        ("fq2.nonresidue", lambda: A2.mul_by_nonresidue()),
+        ("fq2.frob1", lambda: A2.frobenius(1)),
+        ("fq2.conj", lambda: A2.conjugate()),
+        ("fq2.mul_const", lambda: A2 * B2),
+        ("fq2.mul_by_fq", lambda: HFq2(A2.c0 * HFq(AQ), A2.c1 * HFq(AQ))),
+    ],
+)
+def test_fq2_op(tower, op, want):
+    assert dec_fq2(tower[op]) == want()
+
+
+def test_fq2_half(tower):
+    got = dec_fq2(tower["fq2.half"])
+    assert got + got == A2
+
+
+def test_fq2_div6(tower):
+    got = dec_fq2(tower["fq2.div6"])
+    six = got + got + got
+    assert six + six == A2
+
+
+# ---- fq6 -----------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "op,want",
+    [
+        ("fq6.mul", lambda: A6 * B6),
+        ("fq6.square", lambda: A6 * A6),
+        ("fq6.nonresidue", lambda: A6.mul_by_nonresidue()),
+        ("fq6.mul_by_01", lambda: A6 * HFq6(C0, C3, HFq2.zero())),
+        ("fq6.mul_by_fq2", lambda: A6 * HFq6(C0, HFq2.zero(), HFq2.zero())),
+        ("fq6.frob1", lambda: A6.frobenius(1)),
+        ("fq6.frob2", lambda: A6.frobenius(2)),
+        ("fq6.triple", lambda: A6 + A6 + A6),
+    ],
+)
+def test_fq6_op(tower, op, want):
+    assert dec_fq6(tower[op]) == want()
+
+
+def test_fq6_div6(tower):
+    got = dec_fq6(tower["fq6.div6"])
+    three = got + got + got
+    assert three + three == A6
+
+
+# ---- fq12 ----------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "op,want",
+    [
+        ("fq12.mul", lambda: A12 * B12),
+        ("fq12.square", lambda: A12 * A12),
+        ("fq12.cyc_square", lambda: CYC * CYC),
+        ("fq12.mul_by_034", lambda: A12.mul_by_034(C0, C3, C4)),
+        ("fq12.mul_by_34", lambda: A12.mul_by_034(HFq2(HFq(1), HFq(0)), C3, C4)),
+        ("fq12.frob1", lambda: A12.frobenius(1)),
+        ("fq12.frob2", lambda: A12.frobenius(2)),
+        ("fq12.frob3", lambda: A12.frobenius(3)),
+        ("fq12.conj", lambda: A12.conjugate()),
+    ],
+)
+def test_fq12_op(tower, op, want):
+    assert dec_fq12(tower[op]) == want()
+
+
+# ---- curves --------------------------------------------------------------
+
+def _dec_g1(bits):
+    v = dec_many_fq(bits, 3)
+    return hc.G1Jac(HFq(v[0]), HFq(v[1]), HFq(v[2]))
+
+
+def _dec_g2(bits):
+    return hc.G2Jac(
+        dec_fq2(bits[:508]), dec_fq2(bits[508:1016]), dec_fq2(bits[1016:])
+    )
+
+
+def test_g1_add(tower):
+    assert _dec_g1(tower["g1.add"]).to_affine() == (P1 + P2).to_affine()
+
+
+def test_g1_double(tower):
+    assert _dec_g1(tower["g1.double"]).to_affine() == P1.double().to_affine()
+
+
+def test_g1_neg(tower):
+    got = _dec_g1(tower["g1.neg"])
+    want = hc.G1Jac(P1.x, -P1.y, P1.z)
+    assert got.to_affine() == want.to_affine()
+
+
+def test_g2_add(tower):
+    assert _dec_g2(tower["g2.add"]).to_affine() == (Q1 + Q2).to_affine()
+
+
+def test_g2_double(tower):
+    assert _dec_g2(tower["g2.double"]).to_affine() == Q1.double().to_affine()
+
+
+def test_projective_to_affine(tower):
+    v = dec_many_fq(tower["affine"], 3)
+    aff = P1.to_affine()
+    assert (v[0], v[1], v[2]) == (int(aff.x), int(aff.y), 1)
+
+
+# ---- pairing step --------------------------------------------------------
+
+def test_ell_after_double_in_place(tower):
+    r = hp.G2Proj(ELL_Q.x, ELL_Q.y, ONE2)
+    coeff = hp.double_in_place(r)
+    want = hp.ell(A12, coeff, ELL_P)
+    assert dec_fq12(tower["ell"]) == want
