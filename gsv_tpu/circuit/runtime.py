@@ -737,7 +737,7 @@ def _generic_group_jit(mode: str, hasher: str, batch: int | None, commit: bool =
     elif mode == "evaluate":
 
         def step(arena, bits, cts_in, header_maps, outputs_maps, out_ops,
-                 frame_bases, gid_hi, gid_lo, ct_loc, segs):
+                 frame_bases, gid_hi, gid_lo, ct_loc, digest, group_id, segs):
             arena, bits = _evaluate_group_segs(
                 arena, bits, cts_in, header_maps, frame_bases,
                 gid_hi, gid_lo, ct_loc, segs, hasher=hasher,
@@ -746,13 +746,19 @@ def _generic_group_jit(mode: str, hasher: str, batch: int | None, commit: bool =
                 src = _abs_idx_g(out_ops, header_maps, frame_bases, header_maps.shape[1])
                 arena = arena.at[outputs_maps].set(arena[src])
                 bits = bits.at[outputs_maps].set(bits[src])
-            return arena, bits
+            if commit:
+                # same fold as garble over the SAME buffer layout, so the
+                # evaluator's digest of the stream it actually consumed can
+                # be checked against the garbler's commitment
+                digest = _digest_update(digest, cts_in, group_id)
+            return arena, bits, digest
 
         if batch:
             step = jax.vmap(
-                step, in_axes=(0, 0, 0, None, None, None, None, None, None, None, None)
+                step,
+                in_axes=(0, 0, 0, None, None, None, None, None, None, None, 0, None, None),
             )
-        fn = jax.jit(step, donate_argnums=(0, 1))
+        fn = jax.jit(step, donate_argnums=(0, 1, 10))
     else:
         raise ValueError(mode)
 
@@ -920,9 +926,12 @@ class GroupExecutor:
         out = np.asarray(arena[..., plan.output_abs, :])
         return out, arena, (np.asarray(digest) if commit else None)
 
-    def evaluate(self, input_labels, input_bits, false_active, true_active, ct_source):
+    def evaluate(self, input_labels, input_bits, false_active, true_active,
+                 ct_source, commit: bool = False):
         """``ct_source(group, meta)`` must return that group's ciphertext
-        buffer ((S*ctb+1, 4) or batched) in the GroupStep layout."""
+        buffer ((S*ctb+1, 4) or batched) in the GroupStep layout.  With
+        ``commit`` the same digest fold as garble runs over the consumed
+        buffers; returns (labels, bits, digest|None)."""
         from gsv_tpu.circuit.schedule import GroupStep
 
         plan = self.plan
@@ -938,16 +947,17 @@ class GroupExecutor:
         bits[..., plan.input_abs] = input_bits
         arena = jnp.asarray(arena)
         bits = jnp.asarray(bits)
-        jfn = _generic_group_jit("evaluate", self.hasher, batched)
+        digest = jnp.zeros((batched, 4) if batched else (4,), jnp.uint32)
+        jfn = _generic_group_jit("evaluate", self.hasher, batched, commit)
         prog = self._progress("evaluated")
         for gi, g in enumerate(plan.steps):
             if isinstance(g, GroupStep):
                 segs, oo, meta = self._seg_dev(g.tape)
-                hm, om, fb, ghi, glo, ct_loc, _, _ = self._group_dev(g, gi)
+                hm, om, fb, ghi, glo, ct_loc, _, gid = self._group_dev(g, gi)
                 cts_in = ct_source(g, meta)
-                arena, bits = jfn(
+                arena, bits, digest = jfn(
                     arena, bits, jnp.asarray(cts_in), hm, om, oo, fb,
-                    ghi, glo, ct_loc, segs,
+                    ghi, glo, ct_loc, digest, gid, segs,
                 )
                 prog.advance(g.tape.total_gates * g.n_real)
             else:
@@ -956,6 +966,7 @@ class GroupExecutor:
         return (
             np.asarray(arena[..., plan.output_abs, :]),
             np.asarray(bits[..., plan.output_abs]),
+            (np.asarray(digest) if commit else None),
         )
 
 

@@ -34,7 +34,10 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     path = sys.argv[2] if len(sys.argv) > 2 else ".gplan_k6_uniform_1048576.pkl"
     mode = sys.argv[3] if len(sys.argv) > 3 else "garble"
-    commit = (len(sys.argv) > 4 and sys.argv[4] == "commit") or mode == "garble"
+    commit = (len(sys.argv) > 4 and sys.argv[4] == "commit") or mode in (
+        "garble",
+        "evaluate",  # protocol path verifies the consumed-stream digest
+    )
 
     t0 = time.time()
     with open(path, "rb") as fh:
@@ -89,7 +92,7 @@ def main():
                     )
                     low = jfn.lower(
                         arena, bits, cts_in, hm, om, oo_np, fb, ghi, glo,
-                        ct_loc, segs_np,
+                        ct_loc, digest, np.uint32(0), segs_np,
                     )
                 low.compile()
                 done += 1

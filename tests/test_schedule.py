@@ -132,7 +132,9 @@ def test_garble_commit_digest(plans):
 
 def test_evaluate_matches(plans):
     plan, gplan = plans
-    out_seq, out_grp, stream, _, _, rng0, in_l0 = _garble_both(plan, gplan)
+    out_seq, out_grp, stream, _, garble_digest, rng0, in_l0 = _garble_both(
+        plan, gplan, commit=True
+    )
     delta = rng0.delta
     g5 = GarblerRng(5)
     bits = np.random.default_rng(3).integers(0, 2, size=N_IN).astype(np.uint8)
@@ -157,9 +159,14 @@ def test_evaluate_matches(plans):
             buf[s * ctb : s * ctb + ct] = stream[base : base + ct]
         return buf
 
-    lab_grp, val_grp = GroupExecutor(gplan).evaluate(*eval_args, ct_source=gsource)
+    lab_grp, val_grp, eval_digest = GroupExecutor(gplan).evaluate(
+        *eval_args, ct_source=gsource, commit=True
+    )
     assert (np.asarray(val_seq) == np.asarray(val_grp)).all()
     assert (np.asarray(lab_seq) == np.asarray(lab_grp)).all()
+    # the evaluator's digest of the stream it consumed matches the
+    # garbler's commitment digest (the 2PC/C&C stream-hash check)
+    assert (np.asarray(eval_digest) == np.asarray(garble_digest)).all()
     # 2PC invariant: active output label == label0 ^ value*delta
     for lab, w0, v in zip(
         int_array_from_words(lab_grp),
