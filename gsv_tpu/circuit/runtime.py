@@ -67,7 +67,8 @@ def _gate_hash2(sel_a, other_a, hi, lo, hasher):
     if hasher in ("aes", "aes_pallas"):
         tw = tweak_words(hi, lo, xp=jnp)
         blocks = jnp.concatenate([sel_a ^ tw, other_a ^ tw], axis=0)
-        return _aes_blocks(blocks, hasher)
+        blocks, n = _pad32(blocks)  # chunked waves can be <32-block
+        return _aes_blocks(blocks, hasher)[:n]
     blocks = jnp.concatenate([sel_a, other_a], axis=0)
     hi2 = jnp.concatenate([hi, hi])
     lo2 = jnp.concatenate([lo, lo])
@@ -439,6 +440,27 @@ def _abs_idx_g(op_codes, header_maps, frame_bases, H: int):
     return jnp.where(ops[None, :] < H, hdr, frame_bases[:, None] + ops[None, :] - H)
 
 
+# Per-wave AES lane budget (batch * S * lane-width).  The remote TPU compiler
+# crashes (helper subprocess exit 1) on programs whose single-wave hash
+# working set reaches several GB — observed cliff between 4.2M lanes
+# (compiles) and 16.8M (dies).  Waves wider than the budget are processed in
+# power-of-two lane chunks by an inner fori_loop; intra-wave gates are
+# independent by construction (dependency levels), so any split is sound.
+_LANE_BUDGET = 4 << 20
+
+
+def _chunk_factor(S: int, cn: int, lane_budget) -> int:
+    """Static power-of-two chunk count k (dividing cn) with S*(cn/k) within
+    budget.  k == 1 leaves the trace byte-identical to the unchunked form so
+    existing compile-cache entries stay valid."""
+    if not lane_budget:
+        return 1
+    k = 1
+    while cn % (2 * k) == 0 and cn // k > 1 and S * (cn // k) > lane_budget:
+        k *= 2
+    return k
+
+
 def _dst_idx_g(c_slots, frame_bases):
     return jnp.where(c_slots[None, :] < 0, _TRASH, frame_bases[:, None] + c_slots[None, :])
 
@@ -484,7 +506,8 @@ def _execute_group_segs(arena, header_maps, frame_bases, segs):
 
 
 def _garble_group_segs(arena, ct_token, header_maps, frame_bases, delta,
-                       gid_hi, gid_lo, ct_loc, segs, hasher="aes"):
+                       gid_hi, gid_lo, ct_loc, segs, hasher="aes",
+                       lane_budget=None):
     """Half-gates garbling over S sites.  Ciphertext buffer rows are
     ``S * ctb + 1``: site s's stream slice lives at ``[s*ctb, s*ctb+ct)``,
     rows ``[s*ctb+ct, (s+1)*ctb)`` stay zero (deterministic), the last row
@@ -516,25 +539,56 @@ def _garble_group_segs(arena, ct_token, header_maps, frame_bases, delta,
                 out = a ^ (b & _row(fbm, i)[None]) ^ (d1 & _row(ffl, i)[None])
                 arena = arena.at[_dst_idx_g(_row(fc, i), frame_bases)].set(out)
             if cn:
-                a0 = arena[_abs_idx_g(_row(na, i), header_maps, frame_bases, H)]
-                b0 = arena[_abs_idx_g(_row(nb, i), header_maps, frame_bases, H)]
-                sel_a = a0 ^ (d1 & _row(aam, i)[None])
-                other_a = sel_a ^ d1
-                hi, lo = _gid64_g(gid_hi, gid_lo, _row(ngid, i))
-                h = _gate_hash2(
-                    sel_a.reshape(S * cn, 4), other_a.reshape(S * cn, 4),
-                    hi.reshape(-1), lo.reshape(-1), hasher,
-                )
-                h_sel = h[: S * cn].reshape(S, cn, 4)
-                h_other = h[S * cn :].reshape(S, cn, 4)
-                b_sel = b0 ^ (d1 & _row(abm, i)[None])
-                ct = h_sel ^ h_other ^ b_sel
-                w0 = h_sel ^ (d1 & _row(acm, i)[None])
-                arena = arena.at[_dst_idx_g(_row(nc, i), frame_bases)].set(w0)
-                nr = _row(nct, i)[None, :]
-                idx = jnp.where(nr < 0, trash_row, ct_loc[:, None] + nr)
-                idx = jnp.minimum(idx, trash_row)
-                cts = cts.at[idx].set(ct)
+                k = _chunk_factor(S, cn, lane_budget)
+
+                def nonfree(na_r, nb_r, nc_r, gid_r, ct_r, aa_r, ab_r, ac_r,
+                            arena, cts, C=cn // k):
+                    a0 = arena[_abs_idx_g(na_r, header_maps, frame_bases, H)]
+                    b0 = arena[_abs_idx_g(nb_r, header_maps, frame_bases, H)]
+                    sel_a = a0 ^ (d1 & aa_r[None])
+                    other_a = sel_a ^ d1
+                    hi, lo = _gid64_g(gid_hi, gid_lo, gid_r)
+                    h = _gate_hash2(
+                        sel_a.reshape(S * C, 4), other_a.reshape(S * C, 4),
+                        hi.reshape(-1), lo.reshape(-1), hasher,
+                    )
+                    h_sel = h[: S * C].reshape(S, C, 4)
+                    h_other = h[S * C :].reshape(S, C, 4)
+                    b_sel = b0 ^ (d1 & ab_r[None])
+                    ct = h_sel ^ h_other ^ b_sel
+                    w0 = h_sel ^ (d1 & ac_r[None])
+                    arena = arena.at[_dst_idx_g(nc_r, frame_bases)].set(w0)
+                    nr = ct_r[None, :]
+                    idx = jnp.where(nr < 0, trash_row, ct_loc[:, None] + nr)
+                    idx = jnp.minimum(idx, trash_row)
+                    cts = cts.at[idx].set(ct)
+                    return arena, cts
+
+                if k == 1:
+                    arena, cts = nonfree(
+                        _row(na, i), _row(nb, i), _row(nc, i), _row(ngid, i),
+                        _row(nct, i), _row(aam, i), _row(abm, i), _row(acm, i),
+                        arena, cts,
+                    )
+                else:
+                    C = cn // k
+                    naw = _row(na, i).reshape(k, C)
+                    nbw = _row(nb, i).reshape(k, C)
+                    ncw = _row(nc, i).reshape(k, C)
+                    gidw = _row(ngid, i).reshape(k, C)
+                    nctw = _row(nct, i).reshape(k, C)
+                    aaw = _row(aam, i).reshape(k, C, 1)
+                    abw = _row(abm, i).reshape(k, C, 1)
+                    acw = _row(acm, i).reshape(k, C, 1)
+
+                    def inner(j, carry):
+                        return nonfree(
+                            _row(naw, j), _row(nbw, j), _row(ncw, j),
+                            _row(gidw, j), _row(nctw, j), _row(aaw, j),
+                            _row(abw, j), _row(acw, j), *carry,
+                        )
+
+                    arena, cts = jax.lax.fori_loop(0, k, inner, (arena, cts))
             return arena, cts
 
         if n_waves == 1:
@@ -545,7 +599,8 @@ def _garble_group_segs(arena, ct_token, header_maps, frame_bases, delta,
 
 
 def _evaluate_group_segs(arena, bits, cts_in, header_maps, frame_bases,
-                         gid_hi, gid_lo, ct_loc, segs, hasher="aes"):
+                         gid_hi, gid_lo, ct_loc, segs, hasher="aes",
+                         lane_budget=None):
     H = header_maps.shape[1]
     S = header_maps.shape[0]
     max_ct = max(cts_in.shape[0] - 1, 0)
@@ -575,24 +630,53 @@ def _evaluate_group_segs(arena, bits, cts_in, header_maps, frame_bases,
                 arena = arena.at[ci].set(out_l)
                 bits = bits.at[ci].set(out_v)
             if cn:
-                ai = _abs_idx_g(_row(na, i), header_maps, frame_bases, H)
-                bi = _abs_idx_g(_row(nb, i), header_maps, frame_bases, H)
-                la, lb = arena[ai], arena[bi]
-                va, vb = bits[ai], bits[bi]
-                hi, lo = _gid64_g(gid_hi, gid_lo, _row(ngid, i))
-                h = _gate_hash1(
-                    la.reshape(S * cn, 4), hi.reshape(-1), lo.reshape(-1), hasher
-                ).reshape(S, cn, 4)
-                nr = _row(nct, i)[None, :]
-                idx = jnp.where(nr < 0, max_ct, ct_loc[:, None] + nr)
-                ct = cts_in[jnp.clip(idx, 0, max_ct)]
-                use = (va != _row(naa, i)[None])[..., None]
-                out_l = jnp.where(use, ct ^ h ^ lb, h)
-                tt = _row(ntt, i)[None]
-                out_v = ((tt >> (va * 2 + vb)) & 1).astype(jnp.uint8)
-                ci = _dst_idx_g(_row(nc, i), frame_bases)
-                arena = arena.at[ci].set(out_l)
-                bits = bits.at[ci].set(out_v)
+                k = _chunk_factor(S, cn, lane_budget)
+
+                def nonfree(na_r, nb_r, nc_r, gid_r, ct_r, aa_r, tt_r,
+                            arena, bits, C=cn // k):
+                    ai = _abs_idx_g(na_r, header_maps, frame_bases, H)
+                    bi = _abs_idx_g(nb_r, header_maps, frame_bases, H)
+                    la, lb = arena[ai], arena[bi]
+                    va, vb = bits[ai], bits[bi]
+                    hi, lo = _gid64_g(gid_hi, gid_lo, gid_r)
+                    h = _gate_hash1(
+                        la.reshape(S * C, 4), hi.reshape(-1), lo.reshape(-1), hasher
+                    ).reshape(S, C, 4)
+                    nr = ct_r[None, :]
+                    idx = jnp.where(nr < 0, max_ct, ct_loc[:, None] + nr)
+                    ct = cts_in[jnp.clip(idx, 0, max_ct)]
+                    use = (va != aa_r[None])[..., None]
+                    out_l = jnp.where(use, ct ^ h ^ lb, h)
+                    tt = tt_r[None]
+                    out_v = ((tt >> (va * 2 + vb)) & 1).astype(jnp.uint8)
+                    ci = _dst_idx_g(nc_r, frame_bases)
+                    arena = arena.at[ci].set(out_l)
+                    bits = bits.at[ci].set(out_v)
+                    return arena, bits
+
+                if k == 1:
+                    arena, bits = nonfree(
+                        _row(na, i), _row(nb, i), _row(nc, i), _row(ngid, i),
+                        _row(nct, i), _row(naa, i), _row(ntt, i), arena, bits,
+                    )
+                else:
+                    C = cn // k
+                    naw = _row(na, i).reshape(k, C)
+                    nbw = _row(nb, i).reshape(k, C)
+                    ncw = _row(nc, i).reshape(k, C)
+                    gidw = _row(ngid, i).reshape(k, C)
+                    nctw = _row(nct, i).reshape(k, C)
+                    naaw = _row(naa, i).reshape(k, C)
+                    nttw = _row(ntt, i).reshape(k, C)
+
+                    def inner(j, carry):
+                        return nonfree(
+                            _row(naw, j), _row(nbw, j), _row(ncw, j),
+                            _row(gidw, j), _row(nctw, j), _row(naaw, j),
+                            _row(nttw, j), *carry,
+                        )
+
+                    arena, bits = jax.lax.fori_loop(0, k, inner, (arena, bits))
             return arena, bits
 
         if n_waves == 1:
@@ -705,6 +789,8 @@ def _generic_group_jit(mode: str, hasher: str, batch: int | None, commit: bool =
     fn = _GROUP_JITS.get(key)
     if fn is not None:
         return fn
+    # hash working-set cap per wave, shared across the batch axis
+    lane_budget = max(1, _LANE_BUDGET // max(batch or 1, 1))
 
     if mode == "execute":
 
@@ -722,6 +808,7 @@ def _generic_group_jit(mode: str, hasher: str, batch: int | None, commit: bool =
             arena, cts = _garble_group_segs(
                 arena, ct_token, header_maps, frame_bases, delta,
                 gid_hi, gid_lo, ct_loc, segs, hasher=hasher,
+                lane_budget=lane_budget,
             )
             arena = _scatter_outputs_g(arena, header_maps, frame_bases, outputs_maps, out_ops)
             if commit:
@@ -741,6 +828,7 @@ def _generic_group_jit(mode: str, hasher: str, batch: int | None, commit: bool =
             arena, bits = _evaluate_group_segs(
                 arena, bits, cts_in, header_maps, frame_bases,
                 gid_hi, gid_lo, ct_loc, segs, hasher=hasher,
+                lane_budget=lane_budget,
             )
             if out_ops.shape[0]:
                 src = _abs_idx_g(out_ops, header_maps, frame_bases, header_maps.shape[1])
