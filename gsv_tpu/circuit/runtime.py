@@ -67,8 +67,11 @@ def _gate_hash2(sel_a, other_a, hi, lo, hasher):
     if hasher in ("aes", "aes_pallas"):
         tw = tweak_words(hi, lo, xp=jnp)
         blocks = jnp.concatenate([sel_a ^ tw, other_a ^ tw], axis=0)
-        blocks, n = _pad32(blocks)  # chunked waves can be <32-block
-        return _aes_blocks(blocks, hasher)[:n]
+        n = blocks.shape[0]
+        if n % 32:  # chunked waves can be sub-32-block; aligned traces unchanged
+            blocks, _ = _pad32(blocks)
+            return _aes_blocks(blocks, hasher)[:n]
+        return _aes_blocks(blocks, hasher)
     blocks = jnp.concatenate([sel_a, other_a], axis=0)
     hi2 = jnp.concatenate([hi, hi])
     lo2 = jnp.concatenate([lo, lo])
@@ -1056,6 +1059,80 @@ class GroupExecutor:
             np.asarray(bits[..., plan.output_abs]),
             (np.asarray(digest) if commit else None),
         )
+
+    def garble_evaluate_2pc(self, input_label0s, input_bits, delta,
+                            false_label0, true_label0):
+        """Full 2PC roundtrip in one group-locked pass (the reference's
+        groth16_garble.rs garbler->evaluator flow, reference
+        examples/groth16_garble.rs:88-268): the garbler and evaluator arenas
+        advance together and each group's ciphertext buffer is consumed
+        on-device the moment it is produced — the 172GB stream never exists
+        at once and never leaves HBM.  Input selection (label0 ^ bit*delta)
+        stands in for the OT the reference driver also elides.
+
+        Returns a dict with the garbler's output label0s and stream digest,
+        and the evaluator's active output labels, plaintext values, and
+        consumed-stream digest (protocol check: digests must match, and
+        active label == label0 ^ value*delta)."""
+        from gsv_tpu.circuit.schedule import GroupStep
+
+        plan = self.plan
+        batched = self.batch
+
+        l0 = np.asarray(input_label0s, np.uint32)
+        ib = np.asarray(input_bits, np.uint8)
+        d = np.asarray(delta, np.uint32)
+        active = l0 ^ (ib[..., None].astype(np.uint32) * d[..., None, :])
+
+        lshape = (batched, plan.arena_size, 4) if batched else (plan.arena_size, 4)
+        bshape = (batched, plan.arena_size) if batched else (plan.arena_size,)
+        arena_g = np.zeros(lshape, dtype=np.uint32)
+        arena_g[..., 0, :] = false_label0
+        arena_g[..., 1, :] = true_label0
+        arena_g[..., plan.input_abs, :] = l0
+        arena_e = np.zeros(lshape, dtype=np.uint32)
+        arena_e[..., 0, :] = false_label0
+        arena_e[..., 1, :] = np.asarray(true_label0, np.uint32) ^ d
+        arena_e[..., plan.input_abs, :] = active
+        bits_e = np.zeros(bshape, dtype=np.uint8)
+        bits_e[..., 1] = 1
+        bits_e[..., plan.input_abs] = ib
+
+        arena_g = jnp.asarray(arena_g)
+        arena_e = jnp.asarray(arena_e)
+        bits_e = jnp.asarray(bits_e)
+        delta_dev = jnp.asarray(d)
+        dig_g = jnp.zeros((batched, 4) if batched else (4,), jnp.uint32)
+        dig_e = jnp.zeros_like(dig_g)
+        jg = _generic_group_jit("garble", self.hasher, batched, True)
+        je = _generic_group_jit("evaluate", self.hasher, batched, True)
+        cp_g = self._copy_fn("execute")
+        cp_e = self._copy_fn("evaluate")
+        prog = self._progress("2pc")
+        for gi, g in enumerate(plan.steps):
+            if isinstance(g, GroupStep):
+                segs, oo, meta = self._seg_dev(g.tape)
+                hm, om, fb, ghi, glo, ct_loc, token, gid = self._group_dev(g, gi)
+                arena_g, cts, dig_g = jg(
+                    arena_g, token, hm, om, oo, fb, delta_dev, ghi, glo,
+                    ct_loc, dig_g, gid, segs,
+                )
+                arena_e, bits_e, dig_e = je(
+                    arena_e, bits_e, cts, hm, om, oo, fb, ghi, glo,
+                    ct_loc, dig_e, gid, segs,
+                )
+                prog.advance(g.tape.total_gates * g.n_real)
+            else:
+                src, dst = self._copy_dev(g)
+                arena_g = cp_g(arena_g, src, dst)
+                arena_e, bits_e = cp_e(arena_e, bits_e, src, dst)
+        return {
+            "out_label0": np.asarray(arena_g[..., plan.output_abs, :]),
+            "garble_digest": np.asarray(dig_g),
+            "out_active": np.asarray(arena_e[..., plan.output_abs, :]),
+            "out_bits": np.asarray(bits_e[..., plan.output_abs]),
+            "evaluate_digest": np.asarray(dig_e),
+        }
 
 
 # ----------------------------------------------------------------------

@@ -130,6 +130,41 @@ def test_garble_commit_digest(plans):
     assert (d1 != d3).any()
 
 
+@pytest.mark.parametrize("batch", [None, 2])
+def test_garble_evaluate_2pc(plans, batch):
+    """Group-locked 2PC roundtrip: device-consumed ciphertexts, matching
+    garbler/evaluator stream digests, values == plaintext execution, and
+    active label == label0 ^ value*delta on every output wire."""
+    plan, gplan = plans
+    B = batch or 1
+    rngs = [GarblerRng(5 + i) for i in range(B)]
+    bit_rng = np.random.default_rng(11)
+
+    def stack(x):
+        a = np.stack(x) if batch else np.asarray(x[0])
+        return a
+
+    in_l0 = [[r.issue_label0() for _ in range(N_IN)] for r in rngs]
+    l0 = stack([words_from_int_array(v) for v in in_l0])
+    bits = stack([_rand_bits(bit_rng) for _ in range(B)])
+    delta = stack([words_from_int(r.delta) for r in rngs])
+    f0 = stack([words_from_int(r.false_label0) for r in rngs])
+    t0 = stack([words_from_int(r.true_label0) for r in rngs])
+
+    res = GroupExecutor(gplan, batch=batch).garble_evaluate_2pc(
+        l0, bits, delta, f0, t0
+    )
+    assert (res["garble_digest"] == res["evaluate_digest"]).all()
+    want = np.asarray(GroupExecutor(gplan, batch=batch).execute(bits))
+    assert (res["out_bits"] == want).all()
+    lab = int_array_from_words(res["out_active"].reshape(-1, 4))
+    w0 = int_array_from_words(res["out_label0"].reshape(-1, 4))
+    vals = res["out_bits"].reshape(-1).tolist()
+    deltas = np.repeat([r.delta for r in rngs], len(vals) // B).tolist()
+    for la, lw, v, dl in zip(lab, w0, vals, deltas):
+        assert la == (lw ^ (dl if v else 0))
+
+
 def test_lane_chunking_matches(plans, monkeypatch):
     """A tiny lane budget forces the chunked (inner fori_loop) wave path in
     garble AND evaluate; streams, digests, labels and values must be
