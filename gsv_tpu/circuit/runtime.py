@@ -1061,14 +1061,17 @@ class GroupExecutor:
         )
 
     def garble_evaluate_2pc(self, input_label0s, input_bits, delta,
-                            false_label0, true_label0):
+                            false_label0, true_label0, eval_active=None,
+                            eval_false_active=None, eval_true_active=None):
         """Full 2PC roundtrip in one group-locked pass (the reference's
         groth16_garble.rs garbler->evaluator flow, reference
         examples/groth16_garble.rs:88-268): the garbler and evaluator arenas
         advance together and each group's ciphertext buffer is consumed
         on-device the moment it is produced — the 172GB stream never exists
-        at once and never leaves HBM.  Input selection (label0 ^ bit*delta)
-        stands in for the OT the reference driver also elides.
+        at once and never leaves HBM.  By default input selection
+        (label0 ^ bit*delta) stands in for the OT the reference driver also
+        elides; a protocol caller passes the evaluator's received
+        ``eval_active`` labels (+ constant-wire actives) explicitly.
 
         Returns a dict with the garbler's output label0s and stream digest,
         and the evaluator's active output labels, plaintext values, and
@@ -1082,7 +1085,12 @@ class GroupExecutor:
         l0 = np.asarray(input_label0s, np.uint32)
         ib = np.asarray(input_bits, np.uint8)
         d = np.asarray(delta, np.uint32)
-        active = l0 ^ (ib[..., None].astype(np.uint32) * d[..., None, :])
+        if eval_active is None:
+            eval_active = l0 ^ (ib[..., None].astype(np.uint32) * d[..., None, :])
+        if eval_false_active is None:
+            eval_false_active = np.asarray(false_label0, np.uint32)
+        if eval_true_active is None:
+            eval_true_active = np.asarray(true_label0, np.uint32) ^ d
 
         lshape = (batched, plan.arena_size, 4) if batched else (plan.arena_size, 4)
         bshape = (batched, plan.arena_size) if batched else (plan.arena_size,)
@@ -1091,9 +1099,9 @@ class GroupExecutor:
         arena_g[..., 1, :] = true_label0
         arena_g[..., plan.input_abs, :] = l0
         arena_e = np.zeros(lshape, dtype=np.uint32)
-        arena_e[..., 0, :] = false_label0
-        arena_e[..., 1, :] = np.asarray(true_label0, np.uint32) ^ d
-        arena_e[..., plan.input_abs, :] = active
+        arena_e[..., 0, :] = eval_false_active
+        arena_e[..., 1, :] = eval_true_active
+        arena_e[..., plan.input_abs, :] = np.asarray(eval_active, np.uint32)
         bits_e = np.zeros(bshape, dtype=np.uint8)
         bits_e[..., 1] = 1
         bits_e[..., plan.input_abs] = ib

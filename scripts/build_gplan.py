@@ -5,7 +5,7 @@ pickle, and print the redesign's key numbers: dispatches, sequential waves,
 arena size, distinct (signature, S) programs to compile, device-resident
 content bytes.
 
-Usage: python scripts/build_gplan.py [k] [flatten_max] [out.pkl]
+Usage: python scripts/build_gplan.py [k] [flatten_max] [out.pkl] [--compressed]
 """
 
 import os
@@ -29,16 +29,19 @@ def main():
     from gsv_tpu.circuit.schedule import GroupStep, schedule_plan
     from gsv_tpu.models.groth16_verifier import Groth16VerifierModel
 
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 6
-    flatten_max = int(sys.argv[2]) if len(sys.argv) > 2 else (1 << 20)
-    out = sys.argv[3] if len(sys.argv) > 3 else f".gplan_k{k}_uniform_{flatten_max}.pkl"
+    compressed = "--compressed" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    k = int(args[0]) if args else 6
+    flatten_max = int(args[1]) if len(args) > 1 else (1 << 20)
+    tag = "compressed_" if compressed else ""
+    out = args[2] if len(args) > 2 else f".gplan_k{k}_{tag}uniform_{flatten_max}.pkl"
 
     t0 = time.time()
     vk, proof, publics = dummy_proof(k=k, seed=0)
     model = Groth16VerifierModel(
         vk=vk,
         n_public=len(publics),
-        compressed=False,
+        compressed=compressed,
         flatten_max=flatten_max,
         uniform_constants=True,
     )
