@@ -1,33 +1,78 @@
-"""Benchmark: batched half-gates garbling throughput on the real chip.
+"""Benchmark: garbling throughput on the real chip.
 
-Workload: the Fq12 Montgomery multiply circuit (~20.3M gates — the
-reference's ``tests/fq12_mul_e2e.rs`` workload) garbled as a batch of
-instances (the cut-and-choose axis), using the production per-tape jitted
-executors.  Ciphertexts are consumed into an on-device checksum so the AES
-work cannot be dead-code-eliminated; the timed loop never moves data through
-the host tunnel.
+Primary workload (the reference's headline): the FULL Groth16 verifier
+(~10.76B gates as the uniform-constant grouped plan) garbled as a batch of
+B instances with the device-side streaming commitment enabled — every
+ciphertext is AES-absorbed into a per-instance 16-byte digest on device.
+Requires the pickled grouped plan (scripts/build_gplan.py) and a warm
+compile cache (scripts/precompile_aot_group.py); falls back to the Fq12
+Montgomery-multiply microbenchmark (~20.3M gates, the reference's
+tests/fq12_mul_e2e.rs workload) when either is missing or ``--fq12`` is
+given.
 
 Prints one JSON line: garbled gates/second vs the reference's published
-aggregate throughput (~249M gates/s, 16 instances on 8 cores, README.md:13).
+aggregate throughput (~249M gates/s, 16 instances on 8 cores,
+/root/reference/README.md:12-13).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import pickle
 import sys
 import time
 
 import numpy as np
 
+GPLAN = ".gplan_k6_uniform_1048576.pkl"
+BASELINE = 249e6  # reference 16-instance / 8-core aggregate
 
-def main() -> None:
+
+def bench_full(B: int) -> dict:
+    import jax
+
+    from gsv_tpu.circuit.runtime import GroupExecutor
+    from gsv_tpu.core.labels import words_from_int, words_from_int_array
+    from gsv_tpu.core.rng import GarblerRng
+
+    with open(GPLAN, "rb") as fh:
+        gplan = pickle.load(fh)
+
+    batch = B if B > 1 else None
+    ex = GroupExecutor(gplan, batch=batch)
+    rngs = [GarblerRng(1 + i) for i in range(max(B, 1))]
+    in_l0 = np.stack(
+        [words_from_int_array([r.issue_label0() for r in rngs])
+         for _ in range(gplan.n_inputs)],
+        axis=1,
+    )
+    delta = words_from_int_array([r.delta for r in rngs])
+    f0 = words_from_int_array([r.false_label0 for r in rngs])
+    t0s = words_from_int_array([r.true_label0 for r in rngs])
+    if batch is None:
+        in_l0, delta, f0, t0s = in_l0[0], delta[0], f0[0], t0s[0]
+
+    def run_once():
+        t = time.perf_counter()
+        _, _, digest = ex.garble(in_l0, delta, f0, t0s, ct_handler=None, commit=True)
+        assert digest is not None
+        return time.perf_counter() - t
+
+    run_once()  # warm-up: uploads + compile-cache hits
+    dt = run_once()
+    rate = gplan.total_gates * max(B, 1) / dt
+    return {
+        "metric": "full_groth16_garble_gates_per_sec",
+        "value": round(rate),
+        "unit": "gates/s",
+        "vs_baseline": round(rate / BASELINE, 3),
+    }
+
+
+def bench_fq12(B: int) -> dict:
     import jax
     import jax.numpy as jnp
-
-    from gsv_tpu.core.jitcache import enable_if_tpu
-
-    enable_if_tpu()
 
     from gsv_tpu.circuit.link import TapeStep
     from gsv_tpu.circuit.runtime import PlanExecutor
@@ -35,7 +80,6 @@ def main() -> None:
     from gsv_tpu.core.rng import GarblerRng
     from gsv_tpu.models.groth16_verifier import fq12_mul_model
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     runner = fq12_mul_model()
     plan = runner.plan
     total_gates = runner.template.total_gates
@@ -76,8 +120,6 @@ def main() -> None:
         return arena, ck
 
     base_arenas, base_deltas = make_base()
-
-    # warm-up / compile
     a0, d0 = perturb(base_arenas, base_deltas, jnp.uint32(1))
     _, ck = run_once(a0, d0)
     jax.block_until_ready(ck)
@@ -90,18 +132,33 @@ def main() -> None:
         jax.block_until_ready(ck)
     dt = (time.perf_counter() - t0) / reps
 
-    gates_per_sec = total_gates * B / dt
-    baseline = 249e6  # reference 16-instance aggregate (README.md:13)
-    print(
-        json.dumps(
-            {
-                "metric": "garble_gates_per_sec",
-                "value": round(gates_per_sec),
-                "unit": "gates/s",
-                "vs_baseline": round(gates_per_sec / baseline, 3),
-            }
-        )
-    )
+    rate = total_gates * B / dt
+    return {
+        "metric": "garble_gates_per_sec",
+        "value": round(rate),
+        "unit": "gates/s",
+        "vs_baseline": round(rate / BASELINE, 3),
+    }
+
+
+def main() -> None:
+    from gsv_tpu.core.jitcache import enable_if_tpu
+
+    enable_if_tpu()
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    B = int(args[0]) if args else 32
+    want_full = "--fq12" not in sys.argv and os.path.exists(GPLAN)
+    result = None
+    if want_full:
+        try:
+            result = bench_full(B)
+        except Exception as e:  # noqa: BLE001 — fall back to the microbench
+            print(f"full-verifier bench failed ({type(e).__name__}: {e}); "
+                  f"falling back to fq12", file=sys.stderr, flush=True)
+    if result is None:
+        result = bench_fq12(B)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -29,6 +29,7 @@ from gsv_tpu.circuit.ciphertext import CollectHandler
 from gsv_tpu.circuit.link import Plan, link
 from gsv_tpu.circuit.runtime import PlanExecutor
 from gsv_tpu.circuit.tape import Compiler
+from gsv_tpu.circuit.wires import ArityError, arity_check
 
 
 @dataclass
@@ -101,6 +102,10 @@ class CircuitRunner:
     # -- execute -------------------------------------------------------
 
     def execute(self, input_bits: list[bool]) -> StreamingResult:
+        if len(input_bits) != self.n_inputs:
+            raise ArityError(
+                f"input bits: expected {self.n_inputs}, got {len(input_bits)}"
+            )
         bits = np.asarray([int(b) for b in input_bits], dtype=np.uint8)
         out = self.executor().execute(bits)
         return StreamingResult(
@@ -126,6 +131,8 @@ class CircuitRunner:
         rng = GarblerRng(seed)
         if input_labels is None:
             input_labels = [rng.issue_label0() for _ in range(self.n_inputs)]
+        else:
+            arity_check(list(input_labels), self.n_inputs, "input labels")
         handler = ct_handler if ct_handler is not None else CollectHandler()
         outw, _ = self.executor(hasher=hasher).garble(
             words_from_int_array(input_labels),
@@ -185,6 +192,10 @@ class CircuitRunner:
         ct_source,
         hasher: str = "aes",
     ) -> StreamingResult:
+        if len(input_wires) != self.n_inputs:
+            raise ArityError(
+                f"input wires: expected {self.n_inputs}, got {len(input_wires)}"
+            )
         labels = words_from_int_array([w.active_label for w in input_wires])
         bits = np.asarray([int(w.value) for w in input_wires], dtype=np.uint8)
         outl, outv = self.executor(hasher=hasher).evaluate(

@@ -37,6 +37,23 @@ def _is_container(obj: Any) -> bool:
     return hasattr(obj, "wires_flatten") and hasattr(type(obj), "wires_unflatten")
 
 
+class ArityError(TypeError):
+    """A wire structure's flattened width does not match expectations."""
+
+
+def arity_check(wires: Any, expected: int, what: str = "wires") -> list[int]:
+    """Assert ``wires`` flattens to exactly ``expected`` wire ids and return
+    the flat list.  Reference parity: ``src/circuit/arity_check.rs`` — the
+    macro-level guard that a component's wire payload has the declared
+    width; here it is an explicit call for API boundaries (runner inputs,
+    protocol label lists) where a silent mismatch would otherwise surface
+    as an opaque shape error deep in the executor."""
+    flat, _ = flatten_wires(wires)
+    if len(flat) != expected:
+        raise ArityError(f"{what}: expected {expected} wires, got {len(flat)}")
+    return flat
+
+
 def flatten_wires(obj: Any) -> tuple[list[int], Any]:
     """Flatten a wire structure -> (flat wire-id list, treedef).
 

@@ -320,3 +320,29 @@ def test_pallas_hasher_matches_aes(monkeypatch):
         )
         outs[hasher] = (int_array_from_words(outw), int_array_from_words(np.concatenate(cts)))
     assert outs["aes"] == outs["aes_pallas"]
+
+
+def test_arity_check_surface():
+    """Reference arity_check.rs parity: explicit wire-width guard at API
+    boundaries with a diagnostic error."""
+    from gsv_tpu.circuit.streaming import CircuitRunner, EvaluatedWire
+    from gsv_tpu.circuit.wires import ArityError, arity_check
+    from gsv_tpu.gadgets import bigint
+    from gsv_tpu.gadgets.bigint import BigIntWires
+
+    assert arity_check([1, 2, 3], 3) == [1, 2, 3]
+    with pytest.raises(ArityError, match="expected 4"):
+        arity_check([1, 2, 3], 4)
+
+    def circ(ctx, ins):
+        a = BigIntWires(ins[0:4])
+        b = BigIntWires(ins[4:8])
+        return bigint.add_without_carry(ctx, a, b).bits
+
+    runner = CircuitRunner(circ, 8)
+    with pytest.raises(ArityError):
+        runner.execute([False] * 7)
+    with pytest.raises(ArityError):
+        runner.garble(1, input_labels=[0] * 9)
+    with pytest.raises(ArityError):
+        runner.evaluate([EvaluatedWire(0, False)] * 6, 1, 2, None)
