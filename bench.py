@@ -70,7 +70,7 @@ def bench_full(B: int) -> dict:
     }
 
 
-def bench_fq12(B: int) -> dict:
+def bench_fq12(B: int, hasher: str = "aes") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -83,7 +83,7 @@ def bench_fq12(B: int) -> dict:
     runner = fq12_mul_model()
     plan = runner.plan
     total_gates = runner.template.total_gates
-    ex = PlanExecutor(plan, batch=B)
+    ex = PlanExecutor(plan, batch=B, hasher=hasher)
 
     # per-batch device-side checksum consuming every ciphertext block
     @jax.jit
@@ -134,7 +134,8 @@ def bench_fq12(B: int) -> dict:
 
     rate = total_gates * B / dt
     return {
-        "metric": "garble_gates_per_sec",
+        "metric": "garble_gates_per_sec"
+        + ("" if hasher == "aes" else f"_{hasher}"),
         "value": round(rate),
         "unit": "gates/s",
         "vs_baseline": round(rate / BASELINE, 3),
@@ -148,7 +149,13 @@ def main() -> None:
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     B = int(args[0]) if args else 32
-    want_full = "--fq12" not in sys.argv and os.path.exists(GPLAN)
+    hasher = "aes"
+    for a in sys.argv[1:]:
+        if a.startswith("--hasher="):
+            hasher = a.split("=", 1)[1]
+    want_full = (
+        "--fq12" not in sys.argv and hasher == "aes" and os.path.exists(GPLAN)
+    )
     result = None
     if want_full:
         try:
@@ -157,7 +164,7 @@ def main() -> None:
             print(f"full-verifier bench failed ({type(e).__name__}: {e}); "
                   f"falling back to fq12", file=sys.stderr, flush=True)
     if result is None:
-        result = bench_fq12(B)
+        result = bench_fq12(B, hasher=hasher)
     print(json.dumps(result))
 
 
