@@ -866,12 +866,28 @@ class GroupExecutor:
     maintains a running device-side stream digest (see _digest_update).
     """
 
-    def __init__(self, gplan, batch: int | None = None, hasher: str = "aes"):
+    def __init__(self, gplan, batch: int | None = None, hasher: str = "aes",
+                 mesh=None):
+        """``mesh``: optional Mesh with an ``instances`` axis — the batched
+        state (arenas, deltas, digests) is laid out across it and every
+        group program runs SPMD; XLA propagates the sharding through the
+        whole pass, so instances scale across chips with zero per-step
+        logic (SURVEY §2.7 instance data-parallelism)."""
         assert hasher in ("aes", "aes_pallas", "blake3")
         self.plan = gplan
         self.batch = batch
         self.hasher = hasher
+        self.mesh = mesh
         self._dev: dict = {}
+
+    def _shard(self, arr):
+        """Lay a batched array across the instances mesh axis (no-op
+        without a mesh)."""
+        if self.mesh is None or self.batch is None:
+            return jnp.asarray(arr)
+        from gsv_tpu.parallel.sharding import shard_instances
+
+        return shard_instances(self.mesh, np.asarray(arr))
 
     # -- device-resident per-tape / per-group data -----------------------
 
@@ -995,9 +1011,9 @@ class GroupExecutor:
         arena[..., 0, :] = false_label0
         arena[..., 1, :] = true_label0
         arena[..., plan.input_abs, :] = input_label0s
-        arena = jnp.asarray(arena)
-        delta = jnp.asarray(delta, dtype=jnp.uint32)
-        digest = jnp.zeros((batched, 4) if batched else (4,), jnp.uint32)
+        arena = self._shard(arena)
+        delta = self._shard(np.asarray(delta, dtype=np.uint32))
+        digest = self._shard(np.zeros((batched, 4) if batched else (4,), np.uint32))
         jfn = _generic_group_jit("garble", self.hasher, batched, commit)
         prog = self._progress("garbled")
         for gi, g in enumerate(plan.steps):
@@ -1036,9 +1052,9 @@ class GroupExecutor:
         bits[..., 1] = 1
         arena[..., plan.input_abs, :] = input_labels
         bits[..., plan.input_abs] = input_bits
-        arena = jnp.asarray(arena)
-        bits = jnp.asarray(bits)
-        digest = jnp.zeros((batched, 4) if batched else (4,), jnp.uint32)
+        arena = self._shard(arena)
+        bits = self._shard(bits)
+        digest = self._shard(np.zeros((batched, 4) if batched else (4,), np.uint32))
         jfn = _generic_group_jit("evaluate", self.hasher, batched, commit)
         prog = self._progress("evaluated")
         for gi, g in enumerate(plan.steps):
@@ -1106,12 +1122,12 @@ class GroupExecutor:
         bits_e[..., 1] = 1
         bits_e[..., plan.input_abs] = ib
 
-        arena_g = jnp.asarray(arena_g)
-        arena_e = jnp.asarray(arena_e)
-        bits_e = jnp.asarray(bits_e)
-        delta_dev = jnp.asarray(d)
-        dig_g = jnp.zeros((batched, 4) if batched else (4,), jnp.uint32)
-        dig_e = jnp.zeros_like(dig_g)
+        arena_g = self._shard(arena_g)
+        arena_e = self._shard(arena_e)
+        bits_e = self._shard(bits_e)
+        delta_dev = self._shard(d)
+        dig_g = self._shard(np.zeros((batched, 4) if batched else (4,), np.uint32))
+        dig_e = self._shard(np.zeros((batched, 4) if batched else (4,), np.uint32))
         jg = _generic_group_jit("garble", self.hasher, batched, True)
         je = _generic_group_jit("evaluate", self.hasher, batched, True)
         cp_g = self._copy_fn("execute")

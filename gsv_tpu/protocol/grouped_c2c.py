@@ -48,16 +48,19 @@ from gsv_tpu.circuit.streaming import GarbledWire
 class GroupedRunner:
     """Pairs a GroupPlan with cached per-batch GroupExecutors."""
 
-    def __init__(self, gplan, hasher: str = "aes"):
+    def __init__(self, gplan, hasher: str = "aes", mesh=None):
         self.gplan = gplan
         self.n_inputs = gplan.n_inputs
         self.hasher = hasher
+        self.mesh = mesh  # optional instances-axis Mesh (SPMD batched passes)
         self._ex: dict = {}
 
     def executor(self, batch: int | None = None) -> GroupExecutor:
         ex = self._ex.get(batch)
         if ex is None:
-            ex = GroupExecutor(self.gplan, batch=batch, hasher=self.hasher)
+            ex = GroupExecutor(
+                self.gplan, batch=batch, hasher=self.hasher, mesh=self.mesh
+            )
             self._ex[batch] = ex
         return ex
 

@@ -120,6 +120,27 @@ def test_lying_opened_seed(runner, protocol):
         ev.check_opened(runner, open_seeds)
 
 
+def test_sharded_create_matches_unsharded(runner):
+    """Grouped garbling with the batch laid across the 8-virtual-device
+    instances mesh produces identical commitments (labels + digests) to the
+    single-device run — the SPMD path changes layout, never math."""
+    import jax
+
+    from gsv_tpu.parallel.sharding import instance_mesh
+
+    n = min(8, len(jax.devices()))
+    if n < 2:
+        pytest.skip("needs >1 device")
+    cfg = Config(total=n, to_finalize=1)
+    seeds = list(range(51, 51 + n))
+    mesh_runner = GroupedRunner(runner.gplan, mesh=instance_mesh(n))
+    g_mesh = GroupedGarbler(mesh_runner, cfg, seeds=seeds)
+    g_mesh.create()
+    g_ref = GroupedGarbler(runner, cfg, seeds=seeds)
+    g_ref.create()
+    assert g_mesh.commit() == g_ref.commit()
+
+
 def test_wrong_opened_indices(runner, protocol):
     cfg, garbler, commits, ev = protocol
     open_seeds = garbler.open_commit(ev.to_finalize)
