@@ -30,6 +30,7 @@ is load-bearing for bit-exactness.  Ciphertext positions are ranks among
 from __future__ import annotations
 
 import heapq
+import os
 from dataclasses import dataclass, field
 from typing import Union
 
@@ -128,12 +129,80 @@ _CLASSES = np.array(
 )
 
 
+def _classes_v2(max_val: int = 1 << 20, ratio: float = 1.25) -> np.ndarray:
+    """Fine-grained width classes: multiples of 16 (the bitsliced-AES block
+    quantum) growing by ~1.25x, so per-wave padding is bounded at ~25%
+    instead of the pow2 grid's ~2x."""
+    g, v = [], 16
+    while v < max_val:
+        g.append(v)
+        v = max(v + 16, ((int(v * ratio) + 15) // 16) * 16)
+    g.append(max_val)
+    return np.array(g, dtype=np.int64)
+
+
+_CLASSES_V2 = _classes_v2()
+
+# Segmentation v2 (opt-in: GSV_SEG_V2=1): fine width classes + cost-based
+# segment merging instead of the pow2 grid + max-window smoothing.  Round-1
+# census: the v1 scheme computes 14.7B AES lanes for 2.9B real ones (19.4%
+# utilization) on the full verifier — a lone wide wave inflates up to 16
+# neighbors to its class.  v2 changes every tape's segment shapes, so it
+# REQUIRES its own plan pickle + compile-cache fill; never flip the default
+# while a cache built under v1 is in use.
+SEG_V2 = os.environ.get("GSV_SEG_V2") == "1"
+
+# Cumulative padded-lane budget a merged segment may carry (calibrated on
+# the full-verifier plan: 1024 cuts computed AES lanes 13.1B -> 8.5B with
+# only 16% more segments and no program-count growth; 0 would reach 7.1B
+# but at 26x the segments).
+_SEG_MERGE_LANES = 1024
+
+
 def _width_classes(widths: np.ndarray) -> np.ndarray:
     """Smallest padded class per width (0 stays 0); multiples of 16 so the
     doubled AES batch stays a multiple of 32."""
-    idx = np.searchsorted(_CLASSES, widths)
-    out = _CLASSES[np.minimum(idx, len(_CLASSES) - 1)]
+    classes = _CLASSES_V2 if SEG_V2 else _CLASSES
+    idx = np.searchsorted(classes, widths)
+    out = classes[np.minimum(idx, len(classes) - 1)]
     return np.where(widths == 0, 0, out)
+
+
+def _merge_runs(cls: np.ndarray) -> np.ndarray:
+    """Cost-based alternative to max-window smoothing: start from
+    runs-of-equal-class and greedily merge adjacent segments while the
+    padding a merge adds costs less than a segment's fixed overhead.
+    Returns the per-wave effective class after merging."""
+    n = len(cls)
+    if n == 0:
+        return cls
+    # runs: (start, length, class, cumulative pad spent merging into this run)
+    bounds = np.concatenate([[0], np.nonzero(np.diff(cls))[0] + 1, [n]])
+    runs = [
+        [int(bounds[i]), int(bounds[i + 1] - bounds[i]), int(cls[bounds[i]]), 0]
+        for i in range(len(bounds) - 1)
+    ]
+    merged = True
+    while merged and len(runs) > 1:
+        merged = False
+        out = [runs[0]]
+        for r in runs[1:]:
+            s, l, c, spent = out[-1]
+            s2, l2, c2, spent2 = r
+            hi = max(c, c2)
+            pad_cost = (l + l2) * hi - (l * c + l2 * c2)
+            # budget the CUMULATIVE padding a merged segment may carry, so a
+            # wide run cannot keep chain-eating narrow neighbors one at a time
+            if spent + spent2 + pad_cost <= _SEG_MERGE_LANES:
+                out[-1] = [s, l + l2, hi, spent + spent2 + pad_cost]
+                merged = True
+            else:
+                out.append(r)
+        runs = out
+    eff = np.empty(n, dtype=cls.dtype)
+    for s, l, c, _ in runs:
+        eff[s : s + l] = c
+    return eff
 
 
 def _smooth_max(x: np.ndarray, win: int) -> np.ndarray:
@@ -171,8 +240,12 @@ def build_segments(streams: TapeStreams, ct_count: int) -> list[Segment]:
         return []
     fw = np.diff(streams.f_off)
     nww = np.diff(streams.n_off)
-    cfs = _smooth_max(_width_classes(fw), 8)
-    cns = _smooth_max(_width_classes(nww), 8)
+    if SEG_V2:
+        cfs = _merge_runs(_width_classes(fw))
+        cns = _merge_runs(_width_classes(nww))
+    else:
+        cfs = _smooth_max(_width_classes(fw), 8)
+        cns = _smooth_max(_width_classes(nww), 8)
 
     key = cfs * (1 << 32) + cns
     bounds = np.concatenate([[0], np.nonzero(np.diff(key))[0] + 1, [nw]])

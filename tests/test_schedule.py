@@ -130,6 +130,38 @@ def test_garble_commit_digest(plans):
     assert (d1 != d3).any()
 
 
+def test_seg_v2_streams_identical(plans, monkeypatch):
+    """GSV_SEG_V2 segmentation (fine width classes + cost-based merging)
+    changes only padding shapes: the garble stream must stay bit-identical
+    to the v1 plan's."""
+    from gsv_tpu.circuit import tape as tape_mod
+
+    plan_v1, _ = plans
+    *_, stream_v1, _, _, _, _ = _garble_both(plan_v1, schedule_plan(plan_v1))
+
+    monkeypatch.setattr(tape_mod, "SEG_V2", True)
+    tmpl, _ = trace_circuit(_circ, N_IN)
+    plan_v2 = link(Compiler(flatten_max=200).compile(tmpl), N_IN)
+    gplan_v2 = schedule_plan(plan_v2)
+    out_seq, out_grp, s_seq, s_grp, *_ = _garble_both(plan_v2, gplan_v2)
+    assert (out_seq == out_grp).all()
+    assert (s_seq == s_grp).all()
+    assert (np.asarray(s_seq) == np.asarray(stream_v1)).all()
+    # v2 must not pad more than v1
+    def lanes(p):
+        from gsv_tpu.circuit.link import TapeStep
+
+        tot = 0
+        for st in p.steps:
+            if isinstance(st, TapeStep):
+                tot += sum(
+                    s.n_waves * (s.cf + s.cn) for s in st.tape.segments
+                )
+        return tot
+
+    assert lanes(plan_v2) <= lanes(plan_v1)
+
+
 @pytest.mark.parametrize("batch", [None, 2])
 def test_garble_evaluate_2pc(plans, batch):
     """Group-locked 2PC roundtrip: device-consumed ciphertexts, matching
