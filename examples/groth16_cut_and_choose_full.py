@@ -44,6 +44,10 @@ def main():
         from gsv_tpu.core.jitcache import enable_if_tpu
 
         enable_if_tpu()
+    else:
+        from gsv_tpu.core.jitcache import enable_cpu
+
+        enable_cpu()  # same-machine CPU cache: restarts skip the compiles
 
     compressed = "--uncompressed" not in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]

@@ -1,22 +1,27 @@
-"""Persistent XLA compilation cache, TPU-only.
+"""Persistent XLA compilation cache.
 
-Compilation here goes through a remote service at ~40s per program
+TPU: compilation goes through a remote service at ~40s per program
 (serialized), so caching compiled executables across processes/rounds is a
 huge win: the full Groth16 verifier plan has ~970 distinct shape signatures
-(~11h of compiles cold).  The cache is enabled ONLY when the backend is a
-TPU — CPU AOT artifacts embed host machine features and poison runs when
-they cross machines (observed: ``+prefer-no-scatter`` feature mismatch), so
-the CPU path stays per-process.
+(~11h of compiles cold; ~82 as the grouped plan).
 
-The cache lives inside the repo (``.jit_cache/``, gitignored) so it
-survives across build rounds on this machine.
+CPU: artifacts embed host machine features and poison runs when they cross
+MACHINES (observed: ``+prefer-no-scatter`` feature mismatch), but a
+same-machine cache is safe and makes the multi-hour flagship-scale CPU
+validations (2PC roundtrip, full cut-and-choose) restartable — kept in a
+separate directory so the two artifact families never mix.
+
+Both caches live inside the repo (gitignored) so they survive across build
+rounds on this machine.
 """
 
 from __future__ import annotations
 
 import os
 
-CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".jit_cache")
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+CACHE_DIR = os.path.join(_ROOT, ".jit_cache")
+CPU_CACHE_DIR = os.path.join(_ROOT, ".jit_cache_cpu")
 
 
 def enable_if_tpu() -> bool:
@@ -35,6 +40,22 @@ def enable_if_tpu() -> bool:
         os.makedirs(CACHE_DIR, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return True
+    except Exception:
+        return False
+
+
+def enable_cpu() -> bool:
+    """Same-machine persistent cache for the XLA:CPU backend (see module
+    docstring for why this must never be shared across machines)."""
+    import jax
+
+    try:
+        if jax.default_backend() != "cpu":
+            return False
+        os.makedirs(CPU_CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", CPU_CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
         return True
     except Exception:
         return False

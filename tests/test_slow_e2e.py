@@ -98,3 +98,52 @@ def test_groth16_verify_execute_k4():
     )
     out2 = ex.execute(np.array([int(b) for b in bad.to_bits()], dtype=np.uint8))
     assert bool(out2[0]) is False
+
+
+@slow
+def test_decompression_roundtrip_in_circuit():
+    """In-circuit G1/G2 decompression recovers the original points from
+    (x, y_flag) — reference src/gadgets/groth16.rs:826-860 roundtrips.
+    ~620M gates; compiled execute on CPU."""
+    import numpy as np
+
+    from gsv_tpu.bn254_host.curve import g1_gen, g2_gen
+    from gsv_tpu.circuit import trace_circuit
+    from gsv_tpu.circuit.link import link
+    from gsv_tpu.circuit.runtime import PlanExecutor
+    from gsv_tpu.circuit.tape import Compiler
+    from gsv_tpu.gadgets.bn254.encode import (
+        dec_many_fq,
+        enc_fq,
+        enc_fq2,
+        wire_fq,
+        wire_fq2,
+    )
+    from gsv_tpu.gadgets.groth16 import (
+        CompressedG1Wires,
+        CompressedG2Wires,
+        decompress_g1_from_compressed,
+        decompress_g2_from_compressed,
+    )
+    from gsv_tpu.protocol.garbled_groth16 import fq_canonical_sqrt, fq2_canonical_sqrt
+
+    p1 = g1_gen().mul(123457)
+    q1 = g2_gen().mul(987653)
+    a_flag = fq_canonical_sqrt(p1.y * p1.y) == p1.y
+    b_flag = fq2_canonical_sqrt(q1.y.square()) == q1.y
+
+    def circ(ctx, ins):
+        g1c = CompressedG1Wires(wire_fq(ins, 0), ins[762])
+        g2c = CompressedG2Wires(wire_fq2(ins, 1), ins[763])
+        r1 = decompress_g1_from_compressed(ctx, g1c)
+        r2 = decompress_g2_from_compressed(ctx, g2c)
+        return [r1.x, r1.y, r2.x.c0, r2.x.c1, r2.y.c0, r2.y.c1]
+
+    bits = enc_fq(int(p1.x)) + enc_fq2(q1.x) + [bool(a_flag), bool(b_flag)]
+    tmpl, _ = trace_circuit(circ, len(bits))
+    plan = link(Compiler().compile(tmpl), len(bits))
+    out = PlanExecutor(plan).execute(np.array([int(b) for b in bits], np.uint8))
+    vals = dec_many_fq([bool(v) for v in out], 6)
+    assert vals[0] == int(p1.x) and vals[1] == int(p1.y), "G1 roundtrip"
+    assert (vals[2], vals[3]) == (int(q1.x.c0), int(q1.x.c1)), "G2.x roundtrip"
+    assert (vals[4], vals[5]) == (int(q1.y.c0), int(q1.y.c1)), "G2.y roundtrip"
