@@ -938,6 +938,33 @@ class GroupExecutor:
 
         return ProgressLogger(phase)
 
+    class _InflightGate:
+        """Bounds the async dispatch queue by estimated ciphertext-buffer
+        bytes.  The Python loop enqueues groups far faster than the device
+        retires them; every pending garble holds its (up to ~1GB at B=32)
+        cts output in HBM, so an unbounded queue OOMs the chip ~half-way
+        through a full-verifier pass.  Blocking on the oldest queued handle
+        keeps ~budget bytes in flight without draining the pipeline."""
+
+        def __init__(self, budget=None):
+            import os as _os
+
+            from collections import deque
+
+            self.budget = budget or int(
+                _os.environ.get("GSV_INFLIGHT_BYTES", 2 << 30)
+            )
+            self.q = deque()
+            self.bytes = 0
+
+        def add(self, handle, nbytes: int):
+            self.q.append((handle, nbytes))
+            self.bytes += nbytes
+            while self.bytes > self.budget and len(self.q) > 1:
+                h, b = self.q.popleft()
+                jax.block_until_ready(h)
+                self.bytes -= b
+
     def _copy_dev(self, g):
         """Device-resident src/dst index arrays for a CopyStep (uploading
         through the tunnel once, not once per pass)."""
@@ -1016,6 +1043,8 @@ class GroupExecutor:
         digest = self._shard(np.zeros((batched, 4) if batched else (4,), np.uint32))
         jfn = _generic_group_jit("garble", self.hasher, batched, commit)
         prog = self._progress("garbled")
+        gate = self._InflightGate()
+        nb = batched or 1
         for gi, g in enumerate(plan.steps):
             if isinstance(g, GroupStep):
                 segs, oo, meta = self._seg_dev(g.tape)
@@ -1026,6 +1055,7 @@ class GroupExecutor:
                 )
                 if ct_handler is not None and g.tape.ct_count:
                     ct_handler(g, cts, meta)
+                gate.add(cts, token.shape[0] * 16 * nb)
                 prog.advance(g.tape.total_gates * g.n_real)
             else:
                 src, dst = self._copy_dev(g)
@@ -1057,15 +1087,18 @@ class GroupExecutor:
         digest = self._shard(np.zeros((batched, 4) if batched else (4,), np.uint32))
         jfn = _generic_group_jit("evaluate", self.hasher, batched, commit)
         prog = self._progress("evaluated")
+        gate = self._InflightGate()
+        nb = batched or 1
         for gi, g in enumerate(plan.steps):
             if isinstance(g, GroupStep):
                 segs, oo, meta = self._seg_dev(g.tape)
                 hm, om, fb, ghi, glo, ct_loc, _, gid = self._group_dev(g, gi)
-                cts_in = ct_source(g, meta)
+                cts_in = jnp.asarray(ct_source(g, meta))
                 arena, bits, digest = jfn(
-                    arena, bits, jnp.asarray(cts_in), hm, om, oo, fb,
+                    arena, bits, cts_in, hm, om, oo, fb,
                     ghi, glo, ct_loc, digest, gid, segs,
                 )
+                gate.add(cts_in, cts_in.shape[-2] * 16 * nb)
                 prog.advance(g.tape.total_gates * g.n_real)
             else:
                 src, dst = self._copy_dev(g)
@@ -1133,6 +1166,8 @@ class GroupExecutor:
         cp_g = self._copy_fn("execute")
         cp_e = self._copy_fn("evaluate")
         prog = self._progress("2pc")
+        gate = self._InflightGate()
+        nb = batched or 1
         for gi, g in enumerate(plan.steps):
             if isinstance(g, GroupStep):
                 segs, oo, meta = self._seg_dev(g.tape)
@@ -1145,6 +1180,7 @@ class GroupExecutor:
                     arena_e, bits_e, cts, hm, om, oo, fb, ghi, glo,
                     ct_loc, dig_e, gid, segs,
                 )
+                gate.add(cts, token.shape[0] * 16 * nb)
                 prog.advance(g.tape.total_gates * g.n_real)
             else:
                 src, dst = self._copy_dev(g)
