@@ -28,6 +28,8 @@ different seeds) — the TPU analogue of the reference's rayon instance pool
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -947,12 +949,10 @@ class GroupExecutor:
         keeps ~budget bytes in flight without draining the pipeline."""
 
         def __init__(self, budget=None):
-            import os as _os
-
             from collections import deque
 
             self.budget = budget or int(
-                _os.environ.get("GSV_INFLIGHT_BYTES", 2 << 30)
+                os.environ.get("GSV_INFLIGHT_BYTES", 2 << 30)
             )
             self.q = deque()
             self.bytes = 0
@@ -1045,7 +1045,20 @@ class GroupExecutor:
         prog = self._progress("garbled")
         gate = self._InflightGate()
         nb = batched or 1
+        memlog = int(os.environ.get("GSV_MEM_LOG", 0))
         for gi, g in enumerate(plan.steps):
+            if memlog and gi % memlog == 0:
+                try:
+                    st = jax.devices()[0].memory_stats()
+                    print(
+                        f"[mem] step {gi}/{len(plan.steps)} "
+                        f"in_use={st.get('bytes_in_use', -1)/1e9:.2f}GB "
+                        f"peak={st.get('peak_bytes_in_use', -1)/1e9:.2f}GB "
+                        f"inflight={gate.bytes/1e9:.2f}GB",
+                        flush=True,
+                    )
+                except Exception:
+                    memlog = 0
             if isinstance(g, GroupStep):
                 segs, oo, meta = self._seg_dev(g.tape)
                 hm, om, fb, ghi, glo, ct_loc, token, gid = self._group_dev(g, gi)
