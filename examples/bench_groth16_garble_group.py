@@ -28,6 +28,9 @@ def main():
     from gsv_tpu.core.jitcache import enable_if_tpu
 
     enable_if_tpu()
+    from gsv_tpu.core.logging import init_tracing
+
+    init_tracing()  # progress lines (50M-gate cadence) to stderr
 
     from gsv_tpu.circuit.runtime import GroupExecutor
     from gsv_tpu.core.labels import words_from_int, words_from_int_array

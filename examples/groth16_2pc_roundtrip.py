@@ -33,6 +33,9 @@ import numpy as np
 
 
 def main():
+    from gsv_tpu.core.logging import init_tracing
+
+    init_tracing()  # progress lines (50M-gate cadence) to stderr
     from gsv_tpu.bn254_host.curve import G1Jac, G2Jac
     from gsv_tpu.bn254_host.groth16 import dummy_proof, verify
     from gsv_tpu.circuit.runtime import GroupExecutor

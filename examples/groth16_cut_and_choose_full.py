@@ -31,6 +31,9 @@ import numpy as np
 
 
 def main():
+    from gsv_tpu.core.logging import init_tracing
+
+    init_tracing()  # progress lines (50M-gate cadence) to stderr
     from gsv_tpu.bn254_host.groth16 import dummy_proof, verify
     from gsv_tpu.protocol.cut_and_choose import Config, ConsistencyError
     from gsv_tpu.protocol.garbled_groth16 import ProofBits, select_active_labels
