@@ -789,8 +789,16 @@ def _generic_jit(mode: str, hasher: str, batch: int | None):
 _GROUP_JITS: dict = {}
 
 
-def _generic_group_jit(mode: str, hasher: str, batch: int | None, commit: bool = False):
-    key = ("g", mode, hasher, batch, commit)
+def _generic_group_jit(mode: str, hasher: str, batch: int | None, commit: bool = False,
+                       emit_cts: bool = True):
+    """``emit_cts=False`` (garble only, requires commit): the program
+    returns (arena, digest) and the ciphertext buffer stays internal —
+    freed at program end instead of held by every queued dispatch.  This
+    is the deep-pipeline configuration for handler-less committed garbling
+    (the cut-and-choose create/audit passes): with cts as an output, ~40
+    pending dispatches hold ~2GB of HBM and the full-verifier pass OOMs,
+    while throttling to a safe depth serializes on the tunnel RTT."""
+    key = ("g", mode, hasher, batch, commit, emit_cts)
     fn = _GROUP_JITS.get(key)
     if fn is not None:
         return fn
@@ -818,8 +826,12 @@ def _generic_group_jit(mode: str, hasher: str, batch: int | None, commit: bool =
             arena = _scatter_outputs_g(arena, header_maps, frame_bases, outputs_maps, out_ops)
             if commit:
                 digest = _digest_update(digest, cts, group_id)
+            if not emit_cts:
+                return arena, digest
             return arena, cts, digest
 
+        if not emit_cts:
+            assert commit, "digest is the only observable without cts"
         if batch:
             step = jax.vmap(
                 step,
@@ -1041,7 +1053,13 @@ class GroupExecutor:
         arena = self._shard(arena)
         delta = self._shard(np.asarray(delta, dtype=np.uint32))
         digest = self._shard(np.zeros((batched, 4) if batched else (4,), np.uint32))
-        jfn = _generic_group_jit("garble", self.hasher, batched, commit)
+        # Handler-less committed garbling uses the cts-free program variant:
+        # queued dispatches then hold no ciphertext buffers, so the pipeline
+        # can run deep without OOM or throttling.
+        nocts = ct_handler is None and commit
+        jfn = _generic_group_jit(
+            "garble", self.hasher, batched, commit, emit_cts=not nocts
+        )
         prog = self._progress("garbled")
         gate = self._InflightGate()
         nb = batched or 1
@@ -1062,13 +1080,19 @@ class GroupExecutor:
             if isinstance(g, GroupStep):
                 segs, oo, meta = self._seg_dev(g.tape)
                 hm, om, fb, ghi, glo, ct_loc, token, gid = self._group_dev(g, gi)
-                arena, cts, digest = jfn(
-                    arena, token, hm, om, oo, fb, delta, ghi, glo, ct_loc,
-                    digest, gid, segs,
-                )
-                if ct_handler is not None and g.tape.ct_count:
-                    ct_handler(g, cts, meta)
-                gate.add(cts, token.shape[0] * 16 * nb)
+                if nocts:
+                    arena, digest = jfn(
+                        arena, token, hm, om, oo, fb, delta, ghi, glo, ct_loc,
+                        digest, gid, segs,
+                    )
+                else:
+                    arena, cts, digest = jfn(
+                        arena, token, hm, om, oo, fb, delta, ghi, glo, ct_loc,
+                        digest, gid, segs,
+                    )
+                    if ct_handler is not None and g.tape.ct_count:
+                        ct_handler(g, cts, meta)
+                    gate.add(cts, token.shape[0] * 16 * nb)
                 prog.advance(g.tape.total_gates * g.n_real)
             else:
                 src, dst = self._copy_dev(g)

@@ -34,6 +34,9 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     path = sys.argv[2] if len(sys.argv) > 2 else ".gplan_k6_uniform_1048576.pkl"
     mode = sys.argv[3] if len(sys.argv) > 3 else "garble"
+    emit_cts = mode != "garble_nocts"  # deep-pipeline variant (digest only)
+    if mode == "garble_nocts":
+        mode = "garble"
     commit = (len(sys.argv) > 4 and sys.argv[4] == "commit") or mode in (
         "garble",
         "evaluate",  # protocol path verifies the consumed-stream digest
@@ -58,7 +61,8 @@ def main():
     delta = np.zeros((B, 4) if B > 1 else (4,), np.uint32)
     digest = np.zeros((B, 4) if B > 1 else (4,), np.uint32)
 
-    jfn = _generic_group_jit(mode, "aes", B if B > 1 else None, commit)
+    jfn = _generic_group_jit(mode, "aes", B if B > 1 else None, commit,
+                             emit_cts=emit_cts)
     t0 = time.time()
     done = failed = 0
     for n, g in enumerate(work, 1):

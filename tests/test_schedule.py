@@ -254,6 +254,26 @@ def test_lane_chunking_matches(plans, monkeypatch):
         rt._GROUP_JITS.clear()
 
 
+def test_nocts_variant_digest_matches(plans):
+    """Handler-less committed garbling uses the cts-free (deep-pipeline)
+    program variant; its digest and output labels must match the
+    cts-emitting path exactly."""
+    plan, gplan = plans
+    out_ref, _, _, _, d_ref, _, _ = _garble_both(plan, gplan, seed=5, commit=True)
+    rng = GarblerRng(5)
+    in_l0 = [rng.issue_label0() for _ in range(N_IN)]
+    out, _, d2 = GroupExecutor(gplan).garble(
+        words_from_int_array(in_l0),
+        words_from_int(rng.delta),
+        words_from_int(rng.false_label0),
+        words_from_int(rng.true_label0),
+        ct_handler=None,
+        commit=True,
+    )
+    assert (np.asarray(d2) == np.asarray(d_ref)).all()
+    assert (np.asarray(out) == np.asarray(out_ref)).all()
+
+
 def test_evaluate_matches(plans):
     plan, gplan = plans
     out_seq, out_grp, stream, _, garble_digest, rng0, in_l0 = _garble_both(
