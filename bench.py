@@ -143,9 +143,25 @@ def bench_fq12(B: int, hasher: str = "aes") -> dict:
 
 
 def main() -> None:
+    import signal
+
+    def _dead_backend(signum, frame):
+        print(
+            "bench: backend initialization hung (TPU tunnel down?) — aborting",
+            file=sys.stderr,
+            flush=True,
+        )
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, _dead_backend)
+    signal.alarm(600)  # jax.devices() blocks forever when the tunnel is dead
     from gsv_tpu.core.jitcache import enable_if_tpu
 
     enable_if_tpu()
+    import jax
+
+    jax.devices()
+    signal.alarm(0)
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     B = int(args[0]) if args else 32
