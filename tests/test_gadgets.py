@@ -223,3 +223,106 @@ class TestConstantEncoding:
 
         out = run_interp(f, [False])
         assert out[0] is True
+
+
+class TestBigintEdges:
+    """Edge-value matrix (reference bigint tests use zero/max/carry-chain
+    values alongside random ones; src/gadgets/bigint/*.rs #[cfg(test)])."""
+
+    N = 16
+
+    def _cases(self):
+        n = self.N
+        top = (1 << n) - 1
+        return [(0, 0), (0, top), (top, top), (top, 1), (1 << (n - 1), 1 << (n - 1))]
+
+    def test_add_sub_mul_edges(self):
+        N = self.N
+
+        def f(ctx, ins):
+            A, B = BigIntWires(ins[:N]), BigIntWires(ins[N:])
+            return [bi.add(ctx, A, B), bi.sub(ctx, A, B), bi.mul(ctx, A, B)]
+
+        for a, b in self._cases():
+            out = run_interp(f, enc(a, N) + enc(b, N))
+            assert int_from_bits(out[: N + 1]) == a + b, (a, b)
+            assert int_from_bits(out[N + 1 : 2 * N + 1]) == (a - b) % 2**N
+            assert out[2 * N + 1] == (a < b)
+            assert int_from_bits(out[2 * N + 2 :]) == a * b, (a, b)
+
+    def test_cmp_select_edges(self):
+        N = self.N
+
+        def f(ctx, ins):
+            A, B = BigIntWires(ins[:N]), BigIntWires(ins[N : 2 * N])
+            s = ins[2 * N]
+            return [
+                bi.equal(ctx, A, B),
+                bi.equal_zero(ctx, A),
+                bi.greater_than(ctx, A, B),
+                bi.select(ctx, A, B, s),
+            ]
+
+        for a, b in self._cases():
+            for s in (0, 1):
+                out = run_interp(f, enc(a, N) + enc(b, N) + [bool(s)])
+                assert out[0] == (a == b)
+                assert out[1] == (a == 0)
+                assert out[2] == (a > b)
+                assert int_from_bits(out[3:]) == (a if s else b), (a, b, s)
+
+    def test_odd_part_and_halving(self):
+        N = self.N
+
+        def f(ctx, ins):
+            A = BigIntWires(ins[:N])
+            odd, k = bi.odd_part(ctx, A)
+            return [odd, k, bi.half(ctx, A), bi.double(ctx, A)]
+
+        for a in (0, 1, 2, 12, 1 << (N - 1), (1 << N) - 2):
+            out = run_interp(f, enc(a, N))
+            odd = int_from_bits(out[:N])
+            k = int_from_bits(out[N : 2 * N])
+            if a:
+                tz = (a & -a).bit_length() - 1
+                assert odd == a >> tz and k == 1 << tz, a
+            assert int_from_bits(out[2 * N : 3 * N]) == a >> 1
+            assert int_from_bits(out[3 * N :]) == (a * 2) % (1 << (N + 1))
+
+    def test_constant_ops_edges(self):
+        N = self.N
+        top = (1 << N) - 1
+
+        # c=0 is contractually excluded (add.rs asserts nonzero constants)
+        for c in (1, top):
+            def f(ctx, ins, c=c):
+                A = BigIntWires(ins[:N])
+                return [
+                    bi.add_constant(ctx, A, b=c),
+                    bi.mul_by_constant(ctx, A, c=c),
+                    bi.equal_constant(ctx, A, b=c),
+                    bi.less_than_constant(ctx, A, b=c) if c else A,
+                ]
+
+            a = rng.getrandbits(N)
+            out = run_interp(f, enc(a, N))
+            assert int_from_bits(out[: N + 1]) == a + c
+            assert int_from_bits(out[N + 1 : 3 * N + 1]) == a * c
+            assert out[3 * N + 1] == (a == c)
+            if c:
+                assert out[3 * N + 2] == (a < c)
+
+    def test_multiplexer(self):
+        N = 8
+        W = 2  # 4-way mux
+
+        def f(ctx, ins):
+            vals = [BigIntWires(ins[i * N : (i + 1) * N]) for i in range(4)]
+            sel = [ins[4 * N], ins[4 * N + 1]]
+            return bi.multiplexer(ctx, vals, sel, w=W)
+
+        vals = [rng.getrandbits(N) for _ in range(4)]
+        for s in range(4):
+            bits = sum((enc(v, N) for v in vals), []) + [bool(s & 1), bool(s >> 1)]
+            out = run_interp(f, bits)
+            assert int_from_bits(out) == vals[s], s

@@ -254,6 +254,35 @@ def test_lane_chunking_matches(plans, monkeypatch):
         rt._GROUP_JITS.clear()
 
 
+def test_blake3_group_matches_sequential(plans):
+    """The grouped executor under hasher=blake3 streams bit-identically to
+    the sequential executor (the --hasher blake3 protocol path)."""
+    plan, gplan = plans
+    rng = GarblerRng(5)
+    in_l0 = [rng.issue_label0() for _ in range(N_IN)]
+    args = (
+        words_from_int_array(in_l0),
+        words_from_int(rng.delta),
+        words_from_int(rng.false_label0),
+        words_from_int(rng.true_label0),
+    )
+    seq_cts = []
+    out_seq, _ = PlanExecutor(plan, hasher="blake3").garble(
+        *args, ct_handler=lambda c: seq_cts.append(np.asarray(c))
+    )
+    stream_seq = np.concatenate(seq_cts)
+    stream_grp = np.zeros_like(stream_seq)
+
+    def handler(g, cts, meta):
+        scatter_group_cts(g, np.asarray(cts), meta["ctb"], stream_grp)
+
+    out_grp, _, _ = GroupExecutor(gplan, hasher="blake3").garble(
+        *args, ct_handler=handler
+    )
+    assert (np.asarray(out_seq) == np.asarray(out_grp)).all()
+    assert (stream_seq == stream_grp).all()
+
+
 def test_nocts_variant_digest_matches(plans):
     """Handler-less committed garbling uses the cts-free (deep-pipeline)
     program variant; its digest and output labels must match the
