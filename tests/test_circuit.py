@@ -346,3 +346,61 @@ def test_arity_check_surface():
         runner.garble(1, input_labels=[0] * 9)
     with pytest.raises(ArityError):
         runner.evaluate([EvaluatedWire(0, False)] * 6, 1, 2, None)
+
+
+def test_every_gate_type_garble_evaluate_compiled():
+    """All 11 gate types through the COMPILED garble->evaluate path for
+    every input combination: values match truth tables and active output
+    labels satisfy label0 ^ value*delta (the reference's per-gate-type
+    garbling tests, garble_mode.rs/evaluate_mode.rs #[cfg(test)])."""
+    import numpy as np
+
+    from gsv_tpu.circuit.runtime import PlanExecutor
+    from gsv_tpu.core.gate_types import TRUTH_TABLE
+    from gsv_tpu.core.labels import (
+        int_array_from_words,
+        words_from_int,
+        words_from_int_array,
+    )
+    from gsv_tpu.core.rng import GarblerRng
+
+    def circ(ctx, ins):
+        a, b = ins
+        outs = [ctx.gate(gt, a, b) for gt in range(10)]
+        outs.append(ctx.not_(a))
+        return outs
+
+    tmpl, _ = trace_circuit(circ, 2)
+    plan = link(Compiler().compile(tmpl), 2)
+
+    rng = GarblerRng(77)
+    in_l0 = [rng.issue_label0(), rng.issue_label0()]
+    delta = rng.delta
+    cts = []
+    out_l0w, _ = PlanExecutor(plan).garble(
+        words_from_int_array(in_l0),
+        words_from_int(delta),
+        words_from_int(rng.false_label0),
+        words_from_int(rng.true_label0),
+        ct_handler=lambda c: cts.append(np.asarray(c)),
+    )
+    stream = np.concatenate(cts)
+    out_l0 = int_array_from_words(out_l0w)
+
+    for a in (0, 1):
+        for b in (0, 1):
+            active = [in_l0[0] ^ (delta if a else 0), in_l0[1] ^ (delta if b else 0)]
+            labw, vals = PlanExecutor(plan).evaluate(
+                words_from_int_array(active),
+                np.array([a, b], np.uint8),
+                words_from_int(rng.false_label0),
+                words_from_int(rng.true_label0 ^ delta),
+                ct_source=lambda base, cnt: stream[base : base + cnt],
+            )
+            labs = int_array_from_words(labw)
+            for gt in range(10):
+                want = (TRUTH_TABLE[gt] >> (a * 2 + b)) & 1
+                assert vals[gt] == want, (gt, a, b)
+                assert labs[gt] == out_l0[gt] ^ (delta if want else 0), gt
+            assert vals[10] == (1 - a)
+            assert labs[10] == out_l0[10] ^ (delta if not a else 0)
