@@ -169,8 +169,14 @@ def main() -> None:
     for a in sys.argv[1:]:
         if a.startswith("--hasher="):
             hasher = a.split("=", 1)[1]
+    # .bench_full_ready is written once the cts-free garble programs are in
+    # the persistent cache; without it the full bench would sit in ~1h of
+    # cold remote compiles, so fall back to the (cached) fq12 microbench.
     want_full = (
-        "--fq12" not in sys.argv and hasher == "aes" and os.path.exists(GPLAN)
+        "--fq12" not in sys.argv
+        and hasher == "aes"
+        and os.path.exists(GPLAN)
+        and (os.path.exists(".bench_full_ready") or "--full" in sys.argv)
     )
     result = None
     if want_full:
