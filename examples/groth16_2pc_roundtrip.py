@@ -36,7 +36,6 @@ def main():
     from gsv_tpu.core.logging import init_tracing
 
     init_tracing()  # progress lines (50M-gate cadence) to stderr
-    from gsv_tpu.bn254_host.curve import G1Jac, G2Jac
     from gsv_tpu.bn254_host.groth16 import dummy_proof, verify
     from gsv_tpu.circuit.runtime import GroupExecutor
     from gsv_tpu.core.labels import (
@@ -45,7 +44,7 @@ def main():
         words_from_int_array,
     )
     from gsv_tpu.core.rng import GarblerRng
-    from gsv_tpu.gadgets.groth16 import Groth16Input
+    from gsv_tpu.protocol.garbled_groth16 import ProofBits
 
     if "--tpu" in sys.argv:
         from gsv_tpu.core.jitcache import enable_if_tpu
@@ -62,13 +61,10 @@ def main():
 
     vk, proof, publics = dummy_proof(k=6, seed=0)
     assert verify(vk, proof, publics)
-    inp = Groth16Input(
-        public=[int(x) for x in publics],
-        a=G1Jac.from_affine(proof.a),
-        b=G2Jac.from_affine(proof.b),
-        c=G1Jac.from_affine(proof.c),
+    pb = ProofBits.encode(
+        [int(x) for x in publics], proof.a, proof.b, proof.c, compressed=False
     )
-    good = np.array([int(b) for b in inp.to_bits()], dtype=np.uint8)
+    good = np.array([int(b) for b in pb.bits], dtype=np.uint8)
 
     t0 = time.time()
     with open(path, "rb") as fh:
