@@ -1,6 +1,7 @@
 """Cut-and-choose demo: garbler/evaluator message flow
 (reference: examples/groth16_cut_and_choose.rs with TOTAL=4, FINALIZE=2;
-runs on the Fq12-mul workload by default for a quick turnaround).
+runs on the Fq12-mul workload by default for a quick turnaround — the FULL
+compressed-verifier flow is examples/groth16_cut_and_choose_full.py).
 
 Steps: batched garbling -> commits -> random challenge -> open seeds +
 stream ciphertexts for finalized -> evaluator re-garbles opened & checks ->

@@ -1,7 +1,8 @@
 """Full 2PC garble -> stream -> evaluate demo on a sub-circuit
 (reference: examples/groth16_garble.rs, scaled to the Fq12-mul workload so
-it completes quickly on CPU; examples/bench_groth16_garble.py drives the
-whole verifier on the TPU).  --hasher picks aes|blake3 like the reference
+it completes quickly on CPU).  The FULL 10.76B-gate verifier version of
+this flow is examples/groth16_2pc_roundtrip.py (group-locked, ciphertexts
+consumed on device); examples/bench_groth16_garble_group.py benches it.  --hasher picks aes|blake3 like the reference
 CLI (groth16_garble.rs:276-293).
 
 Pass 1: garble with an accumulating AES hash commitment.
