@@ -169,7 +169,7 @@ class Garbler:
                 h = handlers[idxs[0]]
                 self.runner.garble(seeds[0], ct_handler=lambda blk: h(np.asarray(blk)))
             else:
-                sub_runner_batch = self.runner.garble_batch(seeds, ct_handler=_Demux())
+                self.runner.garble_batch(seeds, ct_handler=_Demux())
             return handlers
 
         return open_seeds, regarble
