@@ -147,3 +147,43 @@ def test_wrong_opened_indices(runner, protocol):
     open_seeds[ev.to_finalize[0]] = 999  # offering the finalized one opened
     with pytest.raises(ConsistencyError, match="opened indices"):
         ev.check_opened(runner, open_seeds)
+
+
+def test_all_finalized_no_opened(runner):
+    """finalize == total: no seeds revealed, check_opened passes trivially,
+    every instance still evaluates (the degenerate-but-legal config)."""
+    cfg = Config(total=2, to_finalize=2)
+    g = GroupedGarbler(runner, cfg, seeds=[7, 8])
+    g.create()
+    ev = GroupedEvaluator(random.Random(3), cfg, g.commit())
+    assert sorted(ev.to_finalize) == [0, 1]
+    open_seeds = g.open_commit(ev.to_finalize)
+    assert open_seeds == {}
+    ev.check_opened(runner, open_seeds)
+    bits = np.zeros(N_IN, np.uint8)
+    for i in ev.to_finalize:
+        inst = g.instances[i]
+        out = ev.evaluate_finalized(
+            runner, g, i, _inputs(g, i, bits),
+            true_label=inst.true_wire.select(True),
+            false_label=inst.false_wire.select(False),
+        )
+        assert out.active_label == inst.output_label.select(out.value)
+
+
+def test_single_instance_config(runner):
+    """total == finalize == 1 (the smallest protocol instance)."""
+    cfg = Config(total=1, to_finalize=1)
+    g = GroupedGarbler(runner, cfg, seeds=[99])
+    g.create()
+    ev = GroupedEvaluator(random.Random(5), cfg, g.commit())
+    ev.check_opened(runner, g.open_commit(ev.to_finalize))
+    inst = g.instances[0]
+    bits = np.ones(N_IN, np.uint8)
+    out = ev.evaluate_finalized(
+        runner, g, 0, _inputs(g, 0, bits),
+        true_label=inst.true_wire.select(True),
+        false_label=inst.false_wire.select(False),
+    )
+    want = np.asarray(GroupExecutor(runner.gplan).execute(bits))
+    assert out.value == bool(want[0])
