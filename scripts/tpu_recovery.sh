@@ -1,13 +1,29 @@
 #!/bin/bash
 # Run when the TPU tunnel returns (ss -tln shows :8083 etc).
-# 1) fill the cts-free garble programs, 2) mark bench ready, 3) run the bench.
-set -e
+# Priority chain, each step restartable:
+#   1) fill the cts-free garble programs for the v1 grouped plan
+#   2) mark bench.py's full path ready + record the headline number
+#   3) fill + bench the low-padding v2 plan (1.55x fewer AES lanes)
+#   4) fill evaluate-mode programs (2PC/evaluate benches)
+set -x
 cd "$(dirname "$0")/.."
-for i in $(seq 1 50); do
-  echo "=== nocts pass $i $(date -u +%H:%M:%S) ===" >> /tmp/precompile_nocts.log
-  timeout 10800 python scripts/precompile_aot_group.py 32 .gplan_k6_uniform_1048576.pkl garble_nocts >> /tmp/precompile_nocts.log 2>&1 || true
-  grep -q "precompile complete (0 failed)" /tmp/precompile_nocts.log && break
-  sleep 5
-done
+
+fill() {  # fill <pkl> <mode> <log>
+  for i in $(seq 1 50); do
+    echo "=== $2 pass $i $(date -u +%H:%M:%S) ===" >> "$3"
+    timeout 10800 python scripts/precompile_aot_group.py 32 "$1" "$2" >> "$3" 2>&1 || true
+    grep -q "precompile complete (0 failed)" "$3" && return 0
+    sleep 5
+  done
+  return 1
+}
+
+fill .gplan_k6_uniform_1048576.pkl garble_nocts /tmp/precompile_nocts.log
 touch .bench_full_ready
 python examples/bench_groth16_garble_group.py 32 2>&1 | tee /tmp/bench_full.log
+
+fill .gplan_k6_uniform_1048576_v2.pkl garble_nocts /tmp/precompile_nocts_v2.log
+python examples/bench_groth16_garble_group.py 32 .gplan_k6_uniform_1048576_v2.pkl \
+  2>&1 | tee /tmp/bench_full_v2.log
+
+fill .gplan_k6_uniform_1048576.pkl evaluate /tmp/precompile_eval.log
