@@ -44,7 +44,15 @@ from gsv_tpu.circuit.link import CopyStep, Plan, TapeStep, TRASH
 
 # Group-size buckets: coarse to keep the compiled-program count tiny; padded
 # sites are nearly free because narrow tapes are latency-bound per wave.
+# GSV_S_GRID=fine (opt-in; changes program shapes => needs its own compile
+# fill) trades ~54 extra programs for site-padding utilization 78%->93% on
+# the full verifier (measured round 2).
 _S_GRID = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+if __import__("os").environ.get("GSV_S_GRID") == "fine":
+    _S_GRID = tuple(sorted({
+        1, 2, 3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32, 40, 48, 64, 80, 96,
+        128, 160, 192, 256, 320, 384, 512, 640, 768, 1024,
+    }))
 
 
 def _pick_bucket(n: int, grid) -> int:
