@@ -1,10 +1,14 @@
 #!/bin/bash
 # Run when the TPU tunnel returns (ss -tln shows :8083 etc).
 # Priority chain, each step restartable:
-#   1) fill the cts-free garble programs for the v1 grouped plan
+#   1) fill the cts-free garble programs for the grouped plan at the
+#      bench.py filename (.gplan_k6_uniform_1048576.pkl — since r3 this
+#      holds the seg-v2 low-padding plan; rebuild with
+#      GSV_SEG_V2=1 scripts/build_gplan.py 6 1048576)
 #   2) mark bench.py's full path ready + record the headline number
-#   3) fill + bench the low-padding v2 plan (1.55x fewer AES lanes)
-#   4) fill evaluate-mode programs (2PC/evaluate benches)
+#   3) fill evaluate-mode programs (2PC/evaluate benches)
+# NOTE: .jit_cache/ does NOT survive machine resets between rounds —
+# commit it to git (git add -f .jit_cache) after every fill milestone.
 set -x
 cd "$(dirname "$0")/.."
 
@@ -20,10 +24,8 @@ fill() {  # fill <pkl> <mode> <log>
 
 fill .gplan_k6_uniform_1048576.pkl garble_nocts /tmp/precompile_nocts.log
 touch .bench_full_ready
+git add -f .jit_cache && git commit -m "Warm TPU compile cache: garble_nocts grouped programs" -q
 python examples/bench_groth16_garble_group.py 32 2>&1 | tee /tmp/bench_full.log
 
-fill .gplan_k6_uniform_1048576_v2.pkl garble_nocts /tmp/precompile_nocts_v2.log
-python examples/bench_groth16_garble_group.py 32 .gplan_k6_uniform_1048576_v2.pkl \
-  2>&1 | tee /tmp/bench_full_v2.log
-
 fill .gplan_k6_uniform_1048576.pkl evaluate /tmp/precompile_eval.log
+git add -f .jit_cache && git commit -m "Warm TPU compile cache: evaluate grouped programs" -q
