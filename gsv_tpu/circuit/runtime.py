@@ -451,7 +451,7 @@ def _abs_idx_g(op_codes, header_maps, frame_bases, H: int):
 # (compiles) and 16.8M (dies).  Waves wider than the budget are processed in
 # power-of-two lane chunks by an inner fori_loop; intra-wave gates are
 # independent by construction (dependency levels), so any split is sound.
-_LANE_BUDGET = 4 << 20
+_LANE_BUDGET = int(os.environ.get("GSV_LANE_BUDGET", 4 << 20))
 
 
 def _chunk_factor(S: int, cn: int, lane_budget) -> int:
@@ -510,17 +510,48 @@ def _execute_group_segs(arena, header_maps, frame_bases, segs):
     return arena
 
 
+# Fat-tape site serialization: the remote TPU compiler dies (helper exit 1)
+# on S>=2 group programs whose per-site ciphertext block is huge (observed:
+# ctb=897,793 at S=2 crashes while the SAME tape at S=1 compiles) — the
+# fused gather+hash+scatter over the multi-site buffer exceeds the
+# compiler's working set.  For such programs, run the sites sequentially
+# with an outer fori_loop whose body is exactly the proven S=1 program:
+# sites of a group are independent by construction (schedule.py renaming),
+# and ciphertext rows/gate-ids keep their original positions, so outputs,
+# streams and digests are bit-identical to the unsplit form.  Wide fat-tape
+# waves are compute-bound, so serializing 2-4 sites costs ~no wall clock.
+_SITELOOP_CT_ROWS = int(os.environ.get("GSV_SITELOOP_CT", 200_000))
+
+
 def _garble_group_segs(arena, ct_token, header_maps, frame_bases, delta,
                        gid_hi, gid_lo, ct_loc, segs, hasher="aes",
                        lane_budget=None):
+    cts = jnp.zeros((ct_token.shape[0], 4), jnp.uint32)
+    S = header_maps.shape[0]
+    ctb = (ct_token.shape[0] - 1) // max(S, 1)
+    if S > 1 and ctb > _SITELOOP_CT_ROWS:
+        def site(s, carry):
+            a, c = carry
+            sl = lambda arr: jax.lax.dynamic_slice_in_dim(arr, s, 1, 0)
+            return _garble_group_segs_into(
+                a, c, sl(header_maps), sl(frame_bases), delta,
+                sl(gid_hi), sl(gid_lo), sl(ct_loc), segs, hasher, lane_budget)
+        return jax.lax.fori_loop(0, S, site, (arena, cts))
+    return _garble_group_segs_into(arena, cts, header_maps, frame_bases,
+                                   delta, gid_hi, gid_lo, ct_loc, segs,
+                                   hasher, lane_budget)
+
+
+def _garble_group_segs_into(arena, cts, header_maps, frame_bases, delta,
+                            gid_hi, gid_lo, ct_loc, segs, hasher="aes",
+                            lane_budget=None):
     """Half-gates garbling over S sites.  Ciphertext buffer rows are
     ``S * ctb + 1``: site s's stream slice lives at ``[s*ctb, s*ctb+ct)``,
     rows ``[s*ctb+ct, (s+1)*ctb)`` stay zero (deterministic), the last row
     absorbs padded lanes and padded sites."""
     H = header_maps.shape[1]
     S = header_maps.shape[0]
-    cts = jnp.zeros((ct_token.shape[0], 4), jnp.uint32)
-    trash_row = ct_token.shape[0] - 1
+    trash_row = cts.shape[0] - 1
     d1 = delta[None, None, :]
     for sv in segs:
         fa, fb, fc = sv["f_a"], sv["f_b"], sv["f_c"]
@@ -606,6 +637,24 @@ def _garble_group_segs(arena, ct_token, header_maps, frame_bases, delta,
 def _evaluate_group_segs(arena, bits, cts_in, header_maps, frame_bases,
                          gid_hi, gid_lo, ct_loc, segs, hasher="aes",
                          lane_budget=None):
+    S = header_maps.shape[0]
+    ctb = max(cts_in.shape[0] - 1, 0) // max(S, 1)
+    if S > 1 and ctb > _SITELOOP_CT_ROWS:
+        def site(s, carry):
+            a, b = carry
+            sl = lambda arr: jax.lax.dynamic_slice_in_dim(arr, s, 1, 0)
+            return _evaluate_group_segs_into(
+                a, b, cts_in, sl(header_maps), sl(frame_bases),
+                sl(gid_hi), sl(gid_lo), sl(ct_loc), segs, hasher, lane_budget)
+        return jax.lax.fori_loop(0, S, site, (arena, bits))
+    return _evaluate_group_segs_into(arena, bits, cts_in, header_maps,
+                                     frame_bases, gid_hi, gid_lo, ct_loc,
+                                     segs, hasher, lane_budget)
+
+
+def _evaluate_group_segs_into(arena, bits, cts_in, header_maps, frame_bases,
+                              gid_hi, gid_lo, ct_loc, segs, hasher="aes",
+                              lane_budget=None):
     H = header_maps.shape[1]
     S = header_maps.shape[0]
     max_ct = max(cts_in.shape[0] - 1, 0)

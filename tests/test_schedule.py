@@ -254,6 +254,64 @@ def test_lane_chunking_matches(plans, monkeypatch):
         rt._GROUP_JITS.clear()
 
 
+def test_fat_tape_siteloop_matches(plans, monkeypatch):
+    """Fat-tape site serialization (GSV_SITELOOP_CT): forcing the threshold
+    to 0 makes every S>1 group with ciphertexts run its sites through the
+    outer fori_loop; labels, streams and digests must stay bit-identical to
+    the sequential executor (the loop body IS the S=1 program at the same
+    original ct/gate-id positions)."""
+    from gsv_tpu.circuit import runtime as rt
+
+    plan, gplan = plans
+    assert any(
+        isinstance(g, GroupStep)
+        and g.header_maps.shape[0] > 1
+        and g.tape.ct_count > 0
+        for g in gplan.steps
+    ), "fixture has no multi-site group with ciphertexts"
+    monkeypatch.setattr(rt, "_SITELOOP_CT_ROWS", 0)
+    rt._GROUP_JITS.clear()
+    try:
+        out_seq, out_grp, stream_seq, stream_grp, digest, rng0, in_l0 = (
+            _garble_both(plan, gplan, commit=True)
+        )
+        assert (out_seq == out_grp).all()
+        assert (stream_seq == stream_grp).all()
+
+        delta = rng0.delta
+        g5 = GarblerRng(5)
+        bits = np.random.default_rng(3).integers(0, 2, size=N_IN).astype(np.uint8)
+        inl = [l ^ (delta if b else 0) for l, b in zip(in_l0, bits)]
+        eval_args = (
+            words_from_int_array(inl),
+            bits,
+            words_from_int(g5.false_label0),
+            words_from_int(g5.true_label0 ^ delta),
+        )
+        lab_seq, val_seq = PlanExecutor(plan).evaluate(
+            *eval_args, ct_source=lambda base, cnt: stream_seq[base : base + cnt]
+        )
+
+        def gsource(g, meta):
+            ctb = meta["ctb"]
+            S = g.header_maps.shape[0]
+            buf = np.zeros((S * ctb + 1, 4), np.uint32)
+            ct = g.tape.ct_count
+            for s in range(g.n_real):
+                base = int(g.ct_bases[s])
+                buf[s * ctb : s * ctb + ct] = stream_seq[base : base + ct]
+            return buf
+
+        lab_grp, val_grp, eval_digest = GroupExecutor(gplan).evaluate(
+            *eval_args, ct_source=gsource, commit=True
+        )
+        assert (np.asarray(val_seq) == np.asarray(val_grp)).all()
+        assert (np.asarray(lab_seq) == np.asarray(lab_grp)).all()
+        assert (np.asarray(eval_digest) == np.asarray(digest)).all()
+    finally:
+        rt._GROUP_JITS.clear()
+
+
 def test_blake3_group_matches_sequential(plans):
     """The grouped executor under hasher=blake3 streams bit-identically to
     the sequential executor (the --hasher blake3 protocol path)."""

@@ -110,7 +110,9 @@ IN_BITS = (
     + _enc_jac2(Q1) + _enc_jac2(Q2)       # 65: g2 points
     + enc_fq(int(ELL_P.x)) + enc_fq(int(ELL_P.y)) + enc_fq(1)   # 77
     + enc_fq2(ELL_Q.x) + enc_fq2(ELL_Q.y) + enc_fq2(ONE2)       # 80
+    + [True, True, False, False]          # mux selectors (1,1) and (0,0)
 )
+SEL_OFF = len(IN_BITS) - 4
 
 
 SPEC = [
@@ -128,8 +130,11 @@ SPEC = [
     ("fq12.mul_by_034", 3048), ("fq12.mul_by_34", 3048),
     ("fq12.frob1", 3048), ("fq12.frob2", 3048), ("fq12.frob3", 3048),
     ("fq12.conj", 3048),
+    ("fq2.neg", 508), ("fq6.neg", 1524), ("fq12.neg", 3048),
+    ("fq2.inverse", 508), ("fq6.inverse", 1524), ("fq12.inverse", 3048),
     ("g1.add", 762), ("g1.double", 762), ("g1.neg", 762),
-    ("g2.add", 1524), ("g2.double", 1524),
+    ("g2.add", 1524), ("g2.double", 1524), ("g2.neg", 1524),
+    ("g1.mux3", 762), ("g1.mux0", 762), ("g2.mux3", 1524),
     ("affine", 762), ("ell", 3048),
 ]
 
@@ -180,11 +185,26 @@ def _build(ctx, ins):
     outs["fq12.frob2"] = Fq12Ops.frobenius_montgomery(ctx, a12, 2)
     outs["fq12.frob3"] = Fq12Ops.frobenius_montgomery(ctx, a12, 3)
     outs["fq12.conj"] = Fq12Ops.conjugate(ctx, a12)
+    outs["fq2.neg"] = Fq2Ops.neg(ctx, a2)
+    outs["fq6.neg"] = Fq6Ops.neg(ctx, a6)
+    outs["fq12.neg"] = Fq12Ops.neg(ctx, a12)
+    outs["fq2.inverse"] = Fq2Ops.inverse_montgomery(ctx, a2)
+    outs["fq6.inverse"] = Fq6Ops.inverse_montgomery(ctx, a6)
+    outs["fq12.inverse"] = Fq12Ops.inverse_montgomery(ctx, a12)
     outs["g1.add"] = G1Ops.add_montgomery(ctx, p1, p2)
     outs["g1.double"] = G1Ops.double_montgomery(ctx, p1)
     outs["g1.neg"] = G1Ops.neg(ctx, p1)
     outs["g2.add"] = G2Ops.add_montgomery(ctx, q1, q2)
     outs["g2.double"] = G2Ops.double_montgomery(ctx, q1)
+    outs["g2.neg"] = G2Ops.neg(ctx, q1)
+    # selector values (1,1)->a[3] and (0,0)->a[0] are bit-order agnostic
+    s11 = [ins[SEL_OFF], ins[SEL_OFF + 1]]
+    s00 = [ins[SEL_OFF + 2], ins[SEL_OFF + 3]]
+    opts1 = [p1, p2, outs["g1.add"], outs["g1.double"]]
+    opts2 = [q1, q2, outs["g2.add"], outs["g2.double"]]
+    outs["g1.mux3"] = G1Ops.multiplexer(ctx, opts1, s11, 2)
+    outs["g1.mux0"] = G1Ops.multiplexer(ctx, opts1, s00, 2)
+    outs["g2.mux3"] = G2Ops.multiplexer(ctx, opts2, s11, 2)
     outs["affine"] = projective_to_affine_montgomery(ctx, p1)
     rw, coeffs = cp.double_in_place_circuit_montgomery(
         ctx, type(eq)(eq.x, eq.y, eq.z)
@@ -298,6 +318,33 @@ def test_fq12_op(tower, op, want):
     assert dec_fq12(tower[op]) == want()
 
 
+# ---- neg / inverse (reference test_field! includes both per field) --------
+
+def test_fq2_neg(tower):
+    assert dec_fq2(tower["fq2.neg"]) + A2 == HFq2.zero()
+
+
+def test_fq6_neg(tower):
+    assert dec_fq6(tower["fq6.neg"]) + A6 == HFq6.zero()
+
+
+def test_fq12_neg(tower):
+    got = dec_fq12(tower["fq12.neg"])
+    assert got + A12 == A12 - A12
+
+
+def test_fq2_inverse(tower):
+    assert dec_fq2(tower["fq2.inverse"]) == A2.inv()
+
+
+def test_fq6_inverse(tower):
+    assert dec_fq6(tower["fq6.inverse"]) == A6.inv()
+
+
+def test_fq12_inverse(tower):
+    assert dec_fq12(tower["fq12.inverse"]) == A12.inv()
+
+
 # ---- curves --------------------------------------------------------------
 
 def _dec_g1(bits):
@@ -331,6 +378,22 @@ def test_g2_add(tower):
 
 def test_g2_double(tower):
     assert _dec_g2(tower["g2.double"]).to_affine() == Q1.double().to_affine()
+
+
+def test_g2_neg(tower):
+    got = _dec_g2(tower["g2.neg"])
+    want = hc.G2Jac(Q1.x, HFq2.zero() - Q1.y, Q1.z)
+    assert got.to_affine() == want.to_affine()
+
+
+def test_g1_multiplexer(tower):
+    # (1,1) selects a[3] (=2*P1), (0,0) selects a[0] (=P1), any bit order
+    assert _dec_g1(tower["g1.mux3"]).to_affine() == P1.double().to_affine()
+    assert _dec_g1(tower["g1.mux0"]).to_affine() == P1.to_affine()
+
+
+def test_g2_multiplexer(tower):
+    assert _dec_g2(tower["g2.mux3"]).to_affine() == Q1.double().to_affine()
 
 
 def test_projective_to_affine(tower):
