@@ -13,19 +13,28 @@ set -x
 cd "$(dirname "$0")/.."
 
 fill() {  # fill <pkl> <mode> <log>
+  local pass_log
   for i in $(seq 1 50); do
+    pass_log="$3.pass"
     echo "=== $2 pass $i $(date -u +%H:%M:%S) ===" >> "$3"
-    timeout 10800 python scripts/precompile_aot_group.py 32 "$1" "$2" >> "$3" 2>&1 || true
-    grep -q "precompile complete (0 failed)" "$3" && return 0
+    timeout 10800 python scripts/precompile_aot_group.py 32 "$1" "$2" > "$pass_log" 2>&1 || true
+    cat "$pass_log" >> "$3"
+    # judge success on THIS pass's output only (a stale success line in the
+    # cumulative log from a prior plan at the same pickle name must not count)
+    grep -q "precompile complete (0 failed)" "$pass_log" && return 0
     sleep 5
   done
   return 1
 }
 
-fill .gplan_k6_uniform_1048576.pkl garble_nocts /tmp/precompile_nocts.log
+commit_cache() {  # commit_cache <msg>
+  git add -f .jit_cache && git commit -q -m "$1" -- .jit_cache
+}
+
+fill .gplan_k6_uniform_1048576.pkl garble_nocts /tmp/precompile_nocts.log || exit 1
 touch .bench_full_ready
-git add -f .jit_cache && git commit -m "Warm TPU compile cache: garble_nocts grouped programs" -q
+commit_cache "Warm TPU compile cache: garble_nocts grouped programs"
 python examples/bench_groth16_garble_group.py 32 2>&1 | tee /tmp/bench_full.log
 
-fill .gplan_k6_uniform_1048576.pkl evaluate /tmp/precompile_eval.log
-git add -f .jit_cache && git commit -m "Warm TPU compile cache: evaluate grouped programs" -q
+fill .gplan_k6_uniform_1048576.pkl evaluate /tmp/precompile_eval.log || exit 1
+commit_cache "Warm TPU compile cache: evaluate grouped programs"
