@@ -757,10 +757,20 @@ def _digest_update(digest, cts, group_id):
     rows = cts.shape[0] - 1  # exclude the trash row (scatter-order dependent)
     if rows == 0:
         return digest
-    body = cts[:rows]
+    return _digest_update_rows(digest, cts[:rows], group_id, jnp.uint32(0))
+
+
+def _digest_update_rows(digest, body, group_id, row0):
+    """Fold ``body`` rows with tweaks starting at global row ``row0``.  The
+    XOR fold is associative, so devices holding disjoint row blocks of one
+    group's buffer can fold locally with their global offsets and combine
+    (gsv_tpu.parallel.intra site-sharded garbling)."""
+    rows = body.shape[0]
+    if rows == 0:
+        return digest
     tw = tweak_words(
         jnp.full((rows,), group_id, jnp.uint32),
-        jnp.arange(rows, dtype=jnp.uint32),
+        row0 + jnp.arange(rows, dtype=jnp.uint32),
         xp=jnp,
     )
     blocks, _ = _pad32(body ^ tw)
