@@ -23,7 +23,10 @@ asserts on every process that
 Usage:
     python examples/multihost_cut_and_choose.py              # 2 procs x 4 dev
     python examples/multihost_cut_and_choose.py 2 4 --check  # same, explicit
-(the launcher re-execs itself with --worker; workers print PARITY OK).
+    python examples/multihost_cut_and_choose.py --tiny       # <60s hermetic
+(the launcher re-execs itself with --worker; workers print PARITY OK.
+``--tiny`` swaps the fq-mul model for a small bigint circuit so the
+rehearsal runs inside the hermetic test suite's budget.)
 """
 
 import os
@@ -39,7 +42,8 @@ B = 8  # instance batch (global)
 PORT = 29784
 
 
-def worker(proc_id: int, n_proc: int, local_devices: int) -> None:
+def worker(proc_id: int, n_proc: int, local_devices: int,
+           tiny: bool = False) -> None:
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={local_devices}"
@@ -74,10 +78,23 @@ def worker(proc_id: int, n_proc: int, local_devices: int) -> None:
     from gsv_tpu.circuit.runtime import PlanExecutor
     from gsv_tpu.core.labels import words_from_int, words_from_int_array
     from gsv_tpu.core.rng import GarblerRng
-    from gsv_tpu.models.groth16_verifier import fq_mul_model
     from gsv_tpu.parallel.sharding import sharded_garble_step
 
-    runner = fq_mul_model()
+    if tiny:
+        from gsv_tpu.circuit.streaming import CircuitRunner
+        from gsv_tpu.gadgets import bigint as bi
+        from gsv_tpu.gadgets.bigint import BigIntWires
+
+        def _circ(ctx, ins):
+            a = BigIntWires(ins[:16])
+            b = BigIntWires(ins[16:])
+            return bi.mul(ctx, a, b).bits
+
+        runner = CircuitRunner(_circ, 32)
+    else:
+        from gsv_tpu.models.groth16_verifier import fq_mul_model
+
+        runner = fq_mul_model()
     plan = runner.plan
     mesh = Mesh(np.array(jax.devices()), ("instances",))
 
@@ -135,17 +152,19 @@ def worker(proc_id: int, n_proc: int, local_devices: int) -> None:
 
 
 def main() -> None:
+    tiny = "--tiny" in sys.argv
     if "--worker" in sys.argv:
         i = sys.argv.index("--worker")
-        worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]), int(sys.argv[i + 3]))
+        worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]), int(sys.argv[i + 3]),
+               tiny=tiny)
         return
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     n_proc = int(args[0]) if args else N_PROC
-    local = int(args[1]) if len(args) > 1 else LOCAL_DEVICES
+    local = int(args[1]) if len(args) > 1 else (2 if tiny else LOCAL_DEVICES)
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker",
-             str(p), str(n_proc), str(local)],
+             str(p), str(n_proc), str(local)] + (["--tiny"] if tiny else []),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )

@@ -35,6 +35,24 @@ def shard_instances(mesh: Mesh, arr):
     return jax.device_put(arr, NamedSharding(mesh, spec))
 
 
+def pad_instances(arr, n_devices: int):
+    """Pad the leading instance axis up to a multiple of the mesh size.
+
+    Uneven batches (instances % devices != 0) cannot lay out directly on the
+    ``instances`` axis; deployments round the batch up with zero-seeded dummy
+    instances (they garble garbage that is sliced away) — the analogue of the
+    reference leaving rayon workers idle on the last chunk.  Returns
+    ``(padded, n_real)``; slice results back with ``[:n_real]``.
+    """
+    arr = np.asarray(arr)
+    n_real = arr.shape[0]
+    pad = (-n_real) % n_devices
+    if pad == 0:
+        return arr, n_real
+    z = np.zeros((pad,) + arr.shape[1:], arr.dtype)
+    return np.concatenate([arr, z], axis=0), n_real
+
+
 def sharded_garble_step(plan: Plan, mesh: Mesh):
     """Build a jitted step garbling a sharded batch of instances through the
     whole plan, returning per-instance output labels and a psum-aggregated
