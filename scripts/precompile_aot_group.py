@@ -61,11 +61,13 @@ def main():
     delta = np.zeros((B, 4) if B > 1 else (4,), np.uint32)
     digest = np.zeros((B, 4) if B > 1 else (4,), np.uint32)
 
-    jfn = _generic_group_jit(mode, "aes", B if B > 1 else None, commit,
-                             emit_cts=emit_cts)
     t0 = time.time()
     done = failed = 0
     for n, g in enumerate(work, 1):
+        # fresh jit object per program + cache clear below: retained
+        # Lowered/Compiled objects were the ~1GB/program RSS leak
+        jfn = _generic_group_jit(mode, "aes", B if B > 1 else None, commit,
+                                 emit_cts=emit_cts)
         segs_np, oo_np, meta = padded_seg_args_group(g.tape)
         Hb, ctb, ob = meta["Hb"], meta["ctb"], meta["ob"]
         S = g.header_maps.shape[0]
@@ -116,6 +118,14 @@ def main():
                 time.sleep(10 * (attempt + 1))
         else:
             failed += 1
+        # drop the compiled/lowered objects — the persistent .jit_cache
+        # entry is already written; retaining them leaked ~1GB/program
+        low = None
+        import jax as _jax
+        from gsv_tpu.circuit import runtime as _rt
+
+        _jax.clear_caches()
+        _rt._GROUP_JITS.clear()
         rss_kb = int(open("/proc/self/status").read().split("VmRSS:")[1].split()[0])
         if rss_kb > 60_000_000:
             print(f"RSS {rss_kb//1024}MB too high; exiting for restart", flush=True)
