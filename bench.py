@@ -165,6 +165,10 @@ def main() -> None:
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     B = int(args[0]) if args else 32
+    # packed-segs dispatch (runtime.pack_seg_args) once its compile fill has
+    # landed — the sentinel is written by scripts/tpu_recovery.sh
+    if os.path.exists(".bench_packed_ready"):
+        os.environ.setdefault("GSV_PACKED_SEGS", "1")
     hasher = "aes"
     for a in sys.argv[1:]:
         if a.startswith("--hasher="):

@@ -228,6 +228,58 @@ def padded_seg_args(tape: CompiledTape):
     return segs, oo, meta
 
 
+def pack_seg_args(segs):
+    """Pack a padded seg-dict list into ``(pool32, pool8, layout)``.
+
+    Per-call overhead through the tunneled PJRT client scales with pytree
+    LEAF count (~125 seg arrays per group dispatch at ~100us each — the
+    measured ~12-20ms/dispatch enqueue wall, docs/perf-model.md r3 notes).
+    Shipping two pooled buffers instead cuts the leaf count to 14.
+    ``layout`` is hashable and static — it keys the packed jit cache, and
+    the slices it describes are compile-time constants inside the program.
+    """
+    p32, p8 = [], []
+    off32 = off8 = 0
+    layout = []
+    for d in segs:
+        seg_l = []
+        for f in _SEG_FIELDS:
+            arr = d[f]
+            if arr.dtype == np.uint8:
+                p8.append(arr.ravel())
+                seg_l.append((f, ("u8", off8, arr.shape)))
+                off8 += arr.size
+            else:
+                tag = "i32" if arr.dtype == np.int32 else "u32"
+                p32.append(np.ascontiguousarray(arr).view(np.uint32).ravel())
+                seg_l.append((f, (tag, off32, arr.shape)))
+                off32 += arr.size
+        layout.append(tuple(seg_l))
+    pool32 = np.concatenate(p32) if p32 else np.zeros(0, np.uint32)
+    pool8 = np.concatenate(p8) if p8 else np.zeros(0, np.uint8)
+    return pool32, pool8, tuple(layout)
+
+
+def unpack_seg_views(pool32, pool8, layout):
+    """Rebuild the seg-dict list as static slices of the two pools (traced)."""
+    import math
+
+    segs = []
+    for seg_l in layout:
+        d = {}
+        for f, (tag, off, shape) in seg_l:
+            n = int(math.prod(shape))
+            if tag == "u8":
+                v = jax.lax.slice(pool8, (off,), (off + n,)).reshape(shape)
+            else:
+                v = jax.lax.slice(pool32, (off,), (off + n,)).reshape(shape)
+                if tag == "i32":
+                    v = jax.lax.bitcast_convert_type(v, jnp.int32)
+            d[f] = v
+        segs.append(d)
+    return segs
+
+
 def tape_signature(tape: CompiledTape):
     """The bucketed shape signature two tapes must share to share a compile."""
     H = tape.header_size
@@ -848,6 +900,124 @@ def _generic_jit(mode: str, hasher: str, batch: int | None):
 _GROUP_JITS: dict = {}
 
 
+def _packed_group_jit(mode: str, hasher: str, batch: int | None, commit: bool,
+                      emit_cts: bool, layout):
+    """Packed-segs variant of ``_generic_group_jit``: the ~14-arrays-per-
+    segment pytree is replaced by two pooled buffers + a static ``layout``
+    (see pack_seg_args).  One jit object per layout — layouts number the
+    distinct tape signatures (~82 on the full verifier), so this stays
+    small while the per-dispatch leaf count drops ~9x."""
+    key = ("p", mode, hasher, batch, commit, emit_cts, layout)
+    fn = _GROUP_JITS.get(key)
+    if fn is not None:
+        return fn
+    base = _group_step_fn(mode, hasher, batch, commit, emit_cts)
+
+    if mode == "garble":
+
+        def step(arena, ct_token, header_maps, outputs_maps, out_ops,
+                 frame_bases, delta, gid_hi, gid_lo, ct_loc, digest,
+                 group_id, pool32, pool8):
+            segs = unpack_seg_views(pool32, pool8, layout)
+            return base(arena, ct_token, header_maps, outputs_maps, out_ops,
+                        frame_bases, delta, gid_hi, gid_lo, ct_loc, digest,
+                        group_id, segs)
+
+        if batch:
+            step = jax.vmap(
+                step,
+                in_axes=(0, None, None, None, None, None, 0, None, None,
+                         None, 0, None, None, None),
+            )
+        fn = jax.jit(step, donate_argnums=(0, 10))
+    elif mode == "evaluate":
+
+        def step(arena, bits, cts_in, header_maps, outputs_maps, out_ops,
+                 frame_bases, gid_hi, gid_lo, ct_loc, digest, group_id,
+                 pool32, pool8):
+            segs = unpack_seg_views(pool32, pool8, layout)
+            return base(arena, bits, cts_in, header_maps, outputs_maps,
+                        out_ops, frame_bases, gid_hi, gid_lo, ct_loc,
+                        digest, group_id, segs)
+
+        if batch:
+            step = jax.vmap(
+                step,
+                in_axes=(0, 0, 0, None, None, None, None, None, None, None,
+                         0, None, None, None),
+            )
+        fn = jax.jit(step, donate_argnums=(0, 1, 10))
+    else:  # execute
+
+        def step(arena, header_maps, outputs_maps, out_ops, frame_bases,
+                 pool32, pool8):
+            segs = unpack_seg_views(pool32, pool8, layout)
+            return base(arena, header_maps, outputs_maps, out_ops,
+                        frame_bases, segs)
+
+        if batch:
+            step = jax.vmap(step, in_axes=(0, None, None, None, None, None, None))
+        fn = jax.jit(step, donate_argnums=(0,))
+
+    _GROUP_JITS[key] = fn
+    return fn
+
+
+def _group_step_fn(mode: str, hasher: str, batch: int | None, commit: bool,
+                   emit_cts: bool):
+    """The un-jitted, un-vmapped group step body shared by the plain and
+    packed jit wrappers."""
+    lane_budget = max(1, _LANE_BUDGET // max(batch or 1, 1))
+
+    if mode == "execute":
+
+        def step(arena, header_maps, outputs_maps, out_ops, frame_bases, segs):
+            arena = _execute_group_segs(arena, header_maps, frame_bases, segs)
+            return _scatter_outputs_g(arena, header_maps, frame_bases,
+                                      outputs_maps, out_ops)
+
+        return step
+    if mode == "garble":
+
+        def step(arena, ct_token, header_maps, outputs_maps, out_ops,
+                 frame_bases, delta, gid_hi, gid_lo, ct_loc, digest,
+                 group_id, segs):
+            arena, cts = _garble_group_segs(
+                arena, ct_token, header_maps, frame_bases, delta,
+                gid_hi, gid_lo, ct_loc, segs, hasher=hasher,
+                lane_budget=lane_budget,
+            )
+            arena = _scatter_outputs_g(arena, header_maps, frame_bases,
+                                       outputs_maps, out_ops)
+            if commit:
+                digest = _digest_update(digest, cts, group_id)
+            if not emit_cts:
+                return arena, digest
+            return arena, cts, digest
+
+        return step
+    if mode == "evaluate":
+
+        def step(arena, bits, cts_in, header_maps, outputs_maps, out_ops,
+                 frame_bases, gid_hi, gid_lo, ct_loc, digest, group_id, segs):
+            arena, bits = _evaluate_group_segs(
+                arena, bits, cts_in, header_maps, frame_bases,
+                gid_hi, gid_lo, ct_loc, segs, hasher=hasher,
+                lane_budget=lane_budget,
+            )
+            if out_ops.shape[0]:
+                src = _abs_idx_g(out_ops, header_maps, frame_bases,
+                                 header_maps.shape[1])
+                arena = arena.at[outputs_maps].set(arena[src])
+                bits = bits.at[outputs_maps].set(bits[src])
+            if commit:
+                digest = _digest_update(digest, cts_in, group_id)
+            return arena, bits, digest
+
+        return step
+    raise ValueError(mode)
+
+
 def _generic_group_jit(mode: str, hasher: str, batch: int | None, commit: bool = False,
                        emit_cts: bool = True):
     """``emit_cts=False`` (garble only, requires commit): the program
@@ -951,6 +1121,11 @@ class GroupExecutor:
         self.batch = batch
         self.hasher = hasher
         self.mesh = mesh
+        # GSV_PACKED_SEGS=1: ship each tape's segment arrays as two pooled
+        # buffers instead of ~125 leaves (pack_seg_args) — ~9x lower
+        # per-dispatch marshaling through the tunneled client.  Changes the
+        # traced programs, so it needs its own compile-cache fill.
+        self.packed = os.environ.get("GSV_PACKED_SEGS", "0") == "1"
         self._dev: dict = {}
 
     def _shard(self, arr):
@@ -974,11 +1149,40 @@ class GroupExecutor:
             self._dev[key] = dev
         return dev
 
+    def _seg_dev_packed(self, tape):
+        """(pool32, pool8, layout, oo, meta) for the packed dispatch path."""
+        key = ("gsegsP", tape.content_key)
+        dev = self._dev.get(key)
+        if dev is None:
+            segs_np, oo_np, meta = padded_seg_args_group(tape)
+            pool32, pool8, layout = pack_seg_args(segs_np)
+            dev = (jnp.asarray(pool32), jnp.asarray(pool8), layout,
+                   jnp.asarray(oo_np), meta)
+            self._dev[key] = dev
+        return dev
+
+    def _dispatch(self, mode: str, commit: bool, emit_cts: bool, tape):
+        """(fn, oo, meta, tail) for one group dispatch — plain or packed.
+        ``tail`` is appended to the program args (segs pytree, or the two
+        packed pools)."""
+        if self.packed:
+            p32, p8, layout, oo, meta = self._seg_dev_packed(tape)
+            fn = _packed_group_jit(mode, self.hasher, self.batch, commit,
+                                   emit_cts, layout)
+            return fn, oo, meta, (p32, p8)
+        segs, oo, meta = self._seg_dev(tape)
+        fn = _generic_group_jit(mode, self.hasher, self.batch, commit,
+                                emit_cts)
+        return fn, oo, meta, (segs,)
+
     def _group_dev(self, g, gidx: int):
         key = ("gmaps", id(g))
         dev = self._dev.get(key)
         if dev is None:
-            _, _, meta = self._seg_dev(g.tape)
+            if self.packed:
+                meta = self._seg_dev_packed(g.tape)[4]
+            else:
+                _, _, meta = self._seg_dev(g.tape)
             Hb, ob, ctb = meta["Hb"], meta["ob"], meta["ctb"]
             S = g.header_maps.shape[0]
             hm = np.full((S, Hb), _TRASH, dtype=np.int32)
@@ -1081,13 +1285,12 @@ class GroupExecutor:
         arena[..., 1] = 1
         arena[..., plan.input_abs] = input_bits
         arena = jnp.asarray(arena)
-        jfn = _generic_group_jit("execute", self.hasher, batched)
         prog = self._progress("executed")
         for gi, g in enumerate(plan.steps):
             if isinstance(g, GroupStep):
-                segs, oo, _ = self._seg_dev(g.tape)
+                fn, oo, _, tail = self._dispatch("execute", False, True, g.tape)
                 hm, om, fb, _, _, _, _, _ = self._group_dev(g, gi)
-                arena = jfn(arena, hm, om, oo, fb, segs)
+                arena = fn(arena, hm, om, oo, fb, *tail)
                 prog.advance(g.tape.total_gates * g.n_real)
             else:
                 src, dst = self._copy_dev(g)
@@ -1116,9 +1319,6 @@ class GroupExecutor:
         # queued dispatches then hold no ciphertext buffers, so the pipeline
         # can run deep without OOM or throttling.
         nocts = ct_handler is None and commit
-        jfn = _generic_group_jit(
-            "garble", self.hasher, batched, commit, emit_cts=not nocts
-        )
         prog = self._progress("garbled")
         gate = self._InflightGate()
         nb = batched or 1
@@ -1137,17 +1337,18 @@ class GroupExecutor:
                 except Exception:
                     memlog = 0
             if isinstance(g, GroupStep):
-                segs, oo, meta = self._seg_dev(g.tape)
+                fn, oo, meta, tail = self._dispatch(
+                    "garble", commit, not nocts, g.tape)
                 hm, om, fb, ghi, glo, ct_loc, token, gid = self._group_dev(g, gi)
                 if nocts:
-                    arena, digest = jfn(
+                    arena, digest = fn(
                         arena, token, hm, om, oo, fb, delta, ghi, glo, ct_loc,
-                        digest, gid, segs,
+                        digest, gid, *tail,
                     )
                 else:
-                    arena, cts, digest = jfn(
+                    arena, cts, digest = fn(
                         arena, token, hm, om, oo, fb, delta, ghi, glo, ct_loc,
-                        digest, gid, segs,
+                        digest, gid, *tail,
                     )
                     if ct_handler is not None and g.tape.ct_count:
                         ct_handler(g, cts, meta)
@@ -1181,18 +1382,18 @@ class GroupExecutor:
         arena = self._shard(arena)
         bits = self._shard(bits)
         digest = self._shard(np.zeros((batched, 4) if batched else (4,), np.uint32))
-        jfn = _generic_group_jit("evaluate", self.hasher, batched, commit)
         prog = self._progress("evaluated")
         gate = self._InflightGate()
         nb = batched or 1
         for gi, g in enumerate(plan.steps):
             if isinstance(g, GroupStep):
-                segs, oo, meta = self._seg_dev(g.tape)
+                fn, oo, meta, tail = self._dispatch(
+                    "evaluate", commit, True, g.tape)
                 hm, om, fb, ghi, glo, ct_loc, _, gid = self._group_dev(g, gi)
                 cts_in = jnp.asarray(ct_source(g, meta))
-                arena, bits, digest = jfn(
+                arena, bits, digest = fn(
                     arena, bits, cts_in, hm, om, oo, fb,
-                    ghi, glo, ct_loc, digest, gid, segs,
+                    ghi, glo, ct_loc, digest, gid, *tail,
                 )
                 gate.add(cts_in, cts_in.shape[-2] * 16 * nb)
                 prog.advance(g.tape.total_gates * g.n_real)

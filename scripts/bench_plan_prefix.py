@@ -75,7 +75,7 @@ def main():
     arena = jnp.asarray(arena)
     delta = jnp.asarray(np.asarray(delta, np.uint32))
     digest = jnp.zeros((batch, 4) if batch else (4,), jnp.uint32)
-    jfn = _generic_group_jit("garble", ex.hasher, batch, True, emit_cts=False)
+    print("packed segs:", ex.packed, flush=True)
 
     def segment_pass(tag):
         nonlocal arena, digest
@@ -84,10 +84,10 @@ def main():
         seg_disp = 0
         for gi, g in enumerate(steps):
             if isinstance(g, GroupStep):
-                segs, oo, meta = ex._seg_dev(g.tape)
+                fn, oo, meta, tail = ex._dispatch("garble", True, False, g.tape)
                 hm, om, fb, ghi, glo, ct_loc, token, gid = ex._group_dev(g, gi)
-                arena, digest = jfn(arena, token, hm, om, oo, fb, delta,
-                                    ghi, glo, ct_loc, digest, gid, segs)
+                arena, digest = fn(arena, token, hm, om, oo, fb, delta,
+                                   ghi, glo, ct_loc, digest, gid, *tail)
                 seg_gates += g.tape.total_gates * g.n_real
             else:
                 src, dst = ex._copy_dev(g)

@@ -63,12 +63,22 @@ def main():
 
     t0 = time.time()
     done = failed = 0
+    packed = os.environ.get("GSV_PACKED_SEGS", "0") == "1"
+    from gsv_tpu.circuit.runtime import _packed_group_jit, pack_seg_args
+
     for n, g in enumerate(work, 1):
         # fresh jit object per program + cache clear below: retained
         # Lowered/Compiled objects were the ~1GB/program RSS leak
-        jfn = _generic_group_jit(mode, "aes", B if B > 1 else None, commit,
-                                 emit_cts=emit_cts)
         segs_np, oo_np, meta = padded_seg_args_group(g.tape)
+        if packed:
+            p32, p8, layout = pack_seg_args(segs_np)
+            jfn = _packed_group_jit(mode, "aes", B if B > 1 else None,
+                                    commit, emit_cts, layout)
+            tail = (p32, p8)
+        else:
+            jfn = _generic_group_jit(mode, "aes", B if B > 1 else None,
+                                     commit, emit_cts=emit_cts)
+            tail = (segs_np,)
         Hb, ctb, ob = meta["Hb"], meta["ctb"], meta["ob"]
         S = g.header_maps.shape[0]
         hm = np.full((S, Hb), 2, np.int32)
@@ -87,10 +97,10 @@ def main():
                 if mode == "garble":
                     low = jfn.lower(
                         arena, token, hm, om, oo_np, fb, delta, ghi, glo,
-                        ct_loc, digest, np.uint32(0), segs_np,
+                        ct_loc, digest, np.uint32(0), *tail,
                     )
                 elif mode == "execute":
-                    low = jfn.lower(bits, hm, om, oo_np, fb, segs_np)
+                    low = jfn.lower(bits, hm, om, oo_np, fb, *tail)
                 else:  # evaluate
                     cts_in = np.zeros(
                         (B, S * ctb + 1, 4) if B > 1 else (S * ctb + 1, 4),
@@ -98,7 +108,7 @@ def main():
                     )
                     low = jfn.lower(
                         arena, bits, cts_in, hm, om, oo_np, fb, ghi, glo,
-                        ct_loc, digest, np.uint32(0), segs_np,
+                        ct_loc, digest, np.uint32(0), *tail,
                     )
                 low.compile()
                 done += 1

@@ -1,40 +1,59 @@
 #!/bin/bash
-# Run when the TPU tunnel returns (ss -tln shows :8083 etc).
-# Priority chain, each step restartable:
-#   1) fill the cts-free garble programs for the grouped plan at the
-#      bench.py filename (.gplan_k6_uniform_1048576.pkl — since r3 this
-#      holds the seg-v2 low-padding plan; rebuild with
-#      GSV_SEG_V2=1 scripts/build_gplan.py 6 1048576)
-#   2) mark bench.py's full path ready + record the headline number
-#   3) fill evaluate-mode programs (2PC/evaluate benches)
-# NOTE: .jit_cache/ does NOT survive machine resets between rounds —
-# commit it to git (git add -f .jit_cache) after every fill milestone.
+# TPU recovery chain (restartable; safe to re-run any time).
+# 0) wait for the tunnel backend to answer a trivial op
+# 1) prefix diagnostic on the existing (unpacked) compile cache — measures
+#    per-dispatch overhead with device syncs (docs/perf-model.md r3)
+# 2) fill the PACKED garble_nocts programs (GSV_PACKED_SEGS=1 — ~9x lower
+#    per-dispatch marshaling; needs its own compile fill)
+# 3) mark bench.py's full+packed path ready, run the headline bench
+# 4) fill packed evaluate-mode programs (2PC / cut-and-choose flows)
+# NOTE: commit .jit_cache to git after every fill milestone — nothing
+# outside git survives a round boundary.
 set -x
 cd "$(dirname "$0")/.."
 
-fill() {  # fill <pkl> <mode> <log>
+PKL=.gplan_k6_uniform_1048576.pkl
+
+probe() {
+  timeout 180 python -c "import jax; jax.devices(); print('TPU_OK')" 2>/dev/null \
+    | grep -q TPU_OK
+}
+
+fill() {  # fill <mode> <log> (packed)
   local pass_log
   for i in $(seq 1 50); do
-    pass_log="$3.pass"
-    echo "=== $2 pass $i $(date -u +%H:%M:%S) ===" >> "$3"
-    timeout 10800 python scripts/precompile_aot_group.py 32 "$1" "$2" > "$pass_log" 2>&1 || true
-    cat "$pass_log" >> "$3"
-    # judge success on THIS pass's output only (a stale success line in the
-    # cumulative log from a prior plan at the same pickle name must not count)
+    pass_log="$2.pass"
+    echo "=== $1 pass $i $(date -u +%H:%M:%S) ===" >> "$2"
+    GSV_PACKED_SEGS=1 timeout 10800 \
+      python scripts/precompile_aot_group.py 32 "$PKL" "$1" > "$pass_log" 2>&1 || true
+    cat "$pass_log" >> "$2"
+    # judge success on THIS pass's output only
     grep -q "precompile complete (0 failed)" "$pass_log" && return 0
+    probe || { echo "tunnel died mid-fill; back to waiting" >> "$2"; until probe; do sleep 240; done; }
     sleep 5
   done
   return 1
 }
 
-commit_cache() {  # commit_cache <msg>
+commit_cache() {
   git add -f .jit_cache && git commit -q -m "$1" -- .jit_cache
 }
 
-fill .gplan_k6_uniform_1048576.pkl garble_nocts /tmp/precompile_nocts.log || exit 1
-touch .bench_full_ready
-commit_cache "Warm TPU compile cache: garble_nocts grouped programs"
-python examples/bench_groth16_garble_group.py 32 2>&1 | tee /tmp/bench_full.log
+until probe; do echo "$(date -u +%H:%M) TPU down" >> /tmp/tpu_watch.log; sleep 240; done
+echo "$(date -u +%H:%M) TPU UP" >> /tmp/tpu_watch.log
 
-fill .gplan_k6_uniform_1048576.pkl evaluate /tmp/precompile_eval.log || exit 1
-commit_cache "Warm TPU compile cache: evaluate grouped programs"
+if [ ! -f /tmp/prefix_diag.done ]; then
+  timeout 3600 python scripts/bench_plan_prefix.py 32 "$PKL" --sync=500 \
+    --max-steps=4000 > /tmp/prefix_diag.log 2>&1
+  touch /tmp/prefix_diag.done
+fi
+
+fill garble_nocts /tmp/precompile_packed.log || exit 1
+touch .bench_packed_ready .bench_full_ready
+commit_cache "Warm TPU compile cache: PACKED garble_nocts grouped programs"
+
+GSV_PACKED_SEGS=1 timeout 7200 \
+  python examples/bench_groth16_garble_group.py 32 2>&1 | tee /tmp/bench_full_packed.log
+
+fill evaluate /tmp/precompile_eval_packed.log || exit 1
+commit_cache "Warm TPU compile cache: PACKED evaluate grouped programs"

@@ -312,6 +312,71 @@ def test_fat_tape_siteloop_matches(plans, monkeypatch):
         rt._GROUP_JITS.clear()
 
 
+def test_packed_segs_matches(plans, monkeypatch):
+    """GSV_PACKED_SEGS dispatch path (two pooled seg buffers + static
+    layout, runtime.pack_seg_args): garble stream/labels/digest and the
+    evaluate roundtrip must be bit-identical to the plain segs pytree."""
+    from gsv_tpu.circuit import runtime as rt
+
+    plan, gplan = plans
+    out_seq, out_grp, stream_seq, stream_grp, digest, rng0, in_l0 = (
+        _garble_both(plan, gplan, commit=True)
+    )
+    monkeypatch.setenv("GSV_PACKED_SEGS", "1")
+    try:
+        gex = GroupExecutor(gplan)
+        assert gex.packed
+        stream_p = np.zeros_like(stream_seq)
+
+        def handler(g, cts, meta):
+            scatter_group_cts(g, np.asarray(cts), meta["ctb"], stream_p)
+
+        rng = GarblerRng(5)
+        in_l0p = [rng.issue_label0() for _ in range(N_IN)]
+        args = (
+            words_from_int_array(in_l0p),
+            words_from_int(rng.delta),
+            words_from_int(rng.false_label0),
+            words_from_int(rng.true_label0),
+        )
+        out_p, _, dig_p = gex.garble(*args, ct_handler=handler, commit=True)
+        assert (np.asarray(out_p) == np.asarray(out_grp)).all()
+        assert (stream_p == stream_seq).all()
+        assert (np.asarray(dig_p) == np.asarray(digest)).all()
+
+        bits = np.random.default_rng(3).integers(0, 2, size=N_IN).astype(np.uint8)
+        delta = rng.delta
+        inl = [l ^ (delta if b else 0) for l, b in zip(in_l0p, bits)]
+
+        def gsource(g, meta):
+            ctb = meta["ctb"]
+            S = g.header_maps.shape[0]
+            buf = np.zeros((S * ctb + 1, 4), np.uint32)
+            ct = g.tape.ct_count
+            for s in range(g.n_real):
+                base = int(g.ct_bases[s])
+                buf[s * ctb : s * ctb + ct] = stream_p[base : base + ct]
+            return buf
+
+        lab, val, edig = GroupExecutor(gplan).evaluate(
+            words_from_int_array(inl), bits,
+            words_from_int(rng.false_label0),
+            words_from_int(rng.true_label0 ^ delta),
+            ct_source=gsource, commit=True,
+        )
+        lab_seq, val_seq = PlanExecutor(plan).evaluate(
+            words_from_int_array(inl), bits,
+            words_from_int(rng.false_label0),
+            words_from_int(rng.true_label0 ^ delta),
+            ct_source=lambda base, cnt: stream_seq[base : base + cnt],
+        )
+        assert (np.asarray(val) == np.asarray(val_seq)).all()
+        assert (np.asarray(lab) == np.asarray(lab_seq)).all()
+        assert (np.asarray(edig) == np.asarray(digest)).all()
+    finally:
+        rt._GROUP_JITS.clear()
+
+
 def test_blake3_group_matches_sequential(plans):
     """The grouped executor under hasher=blake3 streams bit-identically to
     the sequential executor (the --hasher blake3 protocol path)."""
