@@ -809,22 +809,29 @@ def _digest_update(digest, cts, group_id):
     rows = cts.shape[0] - 1  # exclude the trash row (scatter-order dependent)
     if rows == 0:
         return digest
-    return _digest_update_rows(digest, cts[:rows], group_id, jnp.uint32(0))
+    return _digest_update_rows(digest, cts[:rows], group_id, 0)
 
 
 def _digest_update_rows(digest, body, group_id, row0):
     """Fold ``body`` rows with tweaks starting at global row ``row0``.  The
     XOR fold is associative, so devices holding disjoint row blocks of one
     group's buffer can fold locally with their global offsets and combine
-    (gsv_tpu.parallel.intra site-sharded garbling)."""
+    (gsv_tpu.parallel.intra site-sharded garbling).
+
+    ``row0`` may be a traced scalar; the static-0 case MUST skip the add so
+    the emitted HLO stays byte-identical to the pre-r3 fold — group-program
+    compile-cache keys hash the HLO, and a gratuitous ``0 +`` op invalidates
+    the whole 82-program fill (burned ~40min of remote compiles once)."""
     rows = body.shape[0]
     if rows == 0:
         return digest
-    tw = tweak_words(
-        jnp.full((rows,), group_id, jnp.uint32),
-        row0 + jnp.arange(rows, dtype=jnp.uint32),
-        xp=jnp,
-    )
+    # op order (full THEN iota, no add for static row0=0) must match the
+    # pre-r3 trace byte-for-byte — see docstring
+    gids = jnp.full((rows,), group_id, jnp.uint32)
+    idx = jnp.arange(rows, dtype=jnp.uint32)
+    if not (isinstance(row0, int) and row0 == 0):
+        idx = row0 + idx
+    tw = tweak_words(gids, idx, xp=jnp)
     blocks, _ = _pad32(body ^ tw)
     h = _aes_blocks(blocks, "aes")[:rows]
     fold = jax.lax.reduce(h, jnp.uint32(0), jax.lax.bitwise_xor, dimensions=(0,))
