@@ -122,14 +122,14 @@ def bench_fq12(B: int, hasher: str = "aes") -> dict:
     base_arenas, base_deltas = make_base()
     a0, d0 = perturb(base_arenas, base_deltas, jnp.uint32(1))
     _, ck = run_once(a0, d0)
-    jax.block_until_ready(ck)
+    np.asarray(ck)  # block_until_ready can ack before remote completion
 
     reps = 3
     t0 = time.perf_counter()
     for r in range(reps):
         ar, dr = perturb(base_arenas, base_deltas, jnp.uint32(100 + r))
         _, ck = run_once(ar, dr)
-        jax.block_until_ready(ck)
+        np.asarray(ck)  # honest sync: D2H value fetch
     dt = (time.perf_counter() - t0) / reps
 
     rate = total_gates * B / dt

@@ -228,6 +228,15 @@ def padded_seg_args(tape: CompiledTape):
     return segs, oo, meta
 
 
+def use_packed_segs(tape, S: int) -> bool:
+    """Deterministic packed-vs-plain rule shared by executor and
+    precompiler: siteloop-class programs (see _garble_group_segs) keep the
+    plain segs pytree."""
+    ct = tape.ct_count
+    ctb = _bucket(ct) if ct else 0
+    return not (S > 1 and ctb > _SITELOOP_CT_ROWS)
+
+
 def pack_seg_args(segs):
     """Pack a padded seg-dict list into ``(pool32, pool8, layout)``.
 
@@ -1168,11 +1177,14 @@ class GroupExecutor:
             self._dev[key] = dev
         return dev
 
-    def _dispatch(self, mode: str, commit: bool, emit_cts: bool, tape):
+    def _dispatch(self, mode: str, commit: bool, emit_cts: bool, tape, S: int):
         """(fn, oo, meta, tail) for one group dispatch — plain or packed.
         ``tail`` is appended to the program args (segs pytree, or the two
-        packed pools)."""
-        if self.packed:
+        packed pools).  Fat-tape siteloop programs (S>1 with huge per-site
+        ciphertext blocks) stay on the plain path: their packed form crashes
+        the remote TPU compiler (HTTP 500, tpu_compile_helper exit 1), and
+        they are ~37 dispatches carrying <1% of the plan's gates."""
+        if self.packed and use_packed_segs(tape, S):
             p32, p8, layout, oo, meta = self._seg_dev_packed(tape)
             fn = _packed_group_jit(mode, self.hasher, self.batch, commit,
                                    emit_cts, layout)
@@ -1295,7 +1307,7 @@ class GroupExecutor:
         prog = self._progress("executed")
         for gi, g in enumerate(plan.steps):
             if isinstance(g, GroupStep):
-                fn, oo, _, tail = self._dispatch("execute", False, True, g.tape)
+                fn, oo, _, tail = self._dispatch("execute", False, True, g.tape, g.header_maps.shape[0])
                 hm, om, fb, _, _, _, _, _ = self._group_dev(g, gi)
                 arena = fn(arena, hm, om, oo, fb, *tail)
                 prog.advance(g.tape.total_gates * g.n_real)
@@ -1345,7 +1357,7 @@ class GroupExecutor:
                     memlog = 0
             if isinstance(g, GroupStep):
                 fn, oo, meta, tail = self._dispatch(
-                    "garble", commit, not nocts, g.tape)
+                    "garble", commit, not nocts, g.tape, g.header_maps.shape[0])
                 hm, om, fb, ghi, glo, ct_loc, token, gid = self._group_dev(g, gi)
                 if nocts:
                     arena, digest = fn(
@@ -1395,7 +1407,7 @@ class GroupExecutor:
         for gi, g in enumerate(plan.steps):
             if isinstance(g, GroupStep):
                 fn, oo, meta, tail = self._dispatch(
-                    "evaluate", commit, True, g.tape)
+                    "evaluate", commit, True, g.tape, g.header_maps.shape[0])
                 hm, om, fb, ghi, glo, ct_loc, _, gid = self._group_dev(g, gi)
                 cts_in = jnp.asarray(ct_source(g, meta))
                 arena, bits, digest = fn(

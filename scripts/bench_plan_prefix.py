@@ -84,7 +84,7 @@ def main():
         seg_disp = 0
         for gi, g in enumerate(steps):
             if isinstance(g, GroupStep):
-                fn, oo, meta, tail = ex._dispatch("garble", True, False, g.tape)
+                fn, oo, meta, tail = ex._dispatch("garble", True, False, g.tape, g.header_maps.shape[0])
                 hm, om, fb, ghi, glo, ct_loc, token, gid = ex._group_dev(g, gi)
                 arena, digest = fn(arena, token, hm, om, oo, fb, delta,
                                    ghi, glo, ct_loc, digest, gid, *tail)
@@ -94,7 +94,11 @@ def main():
                 arena = ex._copy_fn("execute")(arena, src, dst)
             seg_disp += 1
             if seg_disp % sync_every == 0 or gi == len(steps) - 1:
-                jax.block_until_ready(digest)
+                # block_until_ready through the axon tunnel can acknowledge
+                # BEFORE remote completion; a D2H value fetch is the only
+                # honest sync (measured 04:58 r3: 16-byte fetch waited 189s
+                # after ready returned)
+                np.asarray(digest)
                 dt = time.time() - seg_t
                 print(f"[{tag}] disp {gi+1:6d}  seg {seg_disp:5d} in "
                       f"{dt:7.2f}s = {dt*1000/seg_disp:6.1f} ms/disp, "

@@ -64,13 +64,20 @@ def main():
     t0 = time.time()
     done = failed = 0
     packed = os.environ.get("GSV_PACKED_SEGS", "0") == "1"
-    from gsv_tpu.circuit.runtime import _packed_group_jit, pack_seg_args
+    from gsv_tpu.circuit.runtime import (
+        _packed_group_jit,
+        pack_seg_args,
+        use_packed_segs,
+    )
 
     for n, g in enumerate(work, 1):
         # fresh jit object per program + cache clear below: retained
         # Lowered/Compiled objects were the ~1GB/program RSS leak
         segs_np, oo_np, meta = padded_seg_args_group(g.tape)
-        if packed:
+        if packed and not use_packed_segs(g.tape, g.header_maps.shape[0]):
+            print(f"  {n}/{len(work)} siteloop-class: plain segs variant",
+                  flush=True)
+        if packed and use_packed_segs(g.tape, g.header_maps.shape[0]):
             p32, p8, layout = pack_seg_args(segs_np)
             jfn = _packed_group_jit(mode, "aes", B if B > 1 else None,
                                     commit, emit_cts, layout)
