@@ -75,7 +75,15 @@ def main():
     )
     assert gplan.n_inputs == len(pb.bits), (gplan.n_inputs, len(pb.bits))
 
-    runner = GroupedRunner(gplan)
+    import os
+
+    # GSV_ARENA_SIZE: run at a shared (larger) arena so this plan reuses
+    # group programs compiled for another plan at the same batch — e.g. the
+    # uniform verifier's arena 2,542,805 (see GroupExecutor.arena_size).
+    # batch_bucket=total: the audit re-garble and finalized evaluation pad
+    # to the create batch instead of forcing their own compile fills.
+    arena = int(os.environ.get("GSV_ARENA_SIZE", 0)) or None
+    runner = GroupedRunner(gplan, batch_bucket=total, arena_size=arena)
     cfg = Config(total=total, to_finalize=finalize)
 
     t0 = time.time()

@@ -1126,17 +1126,25 @@ class GroupExecutor:
     """
 
     def __init__(self, gplan, batch: int | None = None, hasher: str = "aes",
-                 mesh=None):
+                 mesh=None, arena_size: int | None = None):
         """``mesh``: optional Mesh with an ``instances`` axis — the batched
         state (arenas, deltas, digests) is laid out across it and every
         group program runs SPMD; XLA propagates the sharding through the
         whole pass, so instances scale across chips with zero per-step
-        logic (SURVEY §2.7 instance data-parallelism)."""
+        logic (SURVEY §2.7 instance data-parallelism).
+
+        ``arena_size``: allocate the slot arena LARGER than the plan needs
+        (must be >= gplan.arena_size).  Program compilations are keyed by
+        array shapes, and every remote TPU compile costs 20-60s — running
+        two plans (e.g. the uniform and compressed verifiers) at one shared
+        arena size lets them reuse each other's compiled group programs for
+        every (tape signature, S-bucket) they have in common."""
         assert hasher in ("aes", "aes_pallas", "blake3")
         self.plan = gplan
         self.batch = batch
         self.hasher = hasher
         self.mesh = mesh
+        self.arena_size = max(arena_size or 0, gplan.arena_size)
         # GSV_PACKED_SEGS=1: ship each tape's segment arrays as two pooled
         # buffers instead of ~125 leaves (pack_seg_args) — ~9x lower
         # per-dispatch marshaling through the tunneled client.  Changes the
@@ -1299,7 +1307,7 @@ class GroupExecutor:
 
         plan = self.plan
         batched = self.batch
-        shape = (batched, plan.arena_size) if batched else (plan.arena_size,)
+        shape = (batched, self.arena_size) if batched else (self.arena_size,)
         arena = np.zeros(shape, dtype=np.uint8)
         arena[..., 1] = 1
         arena[..., plan.input_abs] = input_bits
@@ -1326,7 +1334,7 @@ class GroupExecutor:
 
         plan = self.plan
         batched = self.batch
-        shape = (batched, plan.arena_size, 4) if batched else (plan.arena_size, 4)
+        shape = (batched, self.arena_size, 4) if batched else (self.arena_size, 4)
         arena = np.zeros(shape, dtype=np.uint32)
         arena[..., 0, :] = false_label0
         arena[..., 1, :] = true_label0
@@ -1389,8 +1397,8 @@ class GroupExecutor:
 
         plan = self.plan
         batched = self.batch
-        lshape = (batched, plan.arena_size, 4) if batched else (plan.arena_size, 4)
-        bshape = (batched, plan.arena_size) if batched else (plan.arena_size,)
+        lshape = (batched, self.arena_size, 4) if batched else (self.arena_size, 4)
+        bshape = (batched, self.arena_size) if batched else (self.arena_size,)
         arena = np.zeros(lshape, dtype=np.uint32)
         bits = np.zeros(bshape, dtype=np.uint8)
         arena[..., 0, :] = false_active
@@ -1457,8 +1465,8 @@ class GroupExecutor:
         if eval_true_active is None:
             eval_true_active = np.asarray(true_label0, np.uint32) ^ d
 
-        lshape = (batched, plan.arena_size, 4) if batched else (plan.arena_size, 4)
-        bshape = (batched, plan.arena_size) if batched else (plan.arena_size,)
+        lshape = (batched, self.arena_size, 4) if batched else (self.arena_size, 4)
+        bshape = (batched, self.arena_size) if batched else (self.arena_size,)
         arena_g = np.zeros(lshape, dtype=np.uint32)
         arena_g[..., 0, :] = false_label0
         arena_g[..., 1, :] = true_label0

@@ -46,20 +46,37 @@ from gsv_tpu.circuit.streaming import GarbledWire
 
 
 class GroupedRunner:
-    """Pairs a GroupPlan with cached per-batch GroupExecutors."""
+    """Pairs a GroupPlan with cached per-batch GroupExecutors.
 
-    def __init__(self, gplan, hasher: str = "aes", mesh=None):
+    ``batch_bucket``: round every phase's batch UP to this size (padding
+    with throwaway instances) so create / re-garble audit / finalized
+    evaluation all dispatch the SAME compiled (mode, batch) programs —
+    each distinct batch size otherwise costs its own 82-program remote
+    compile fill.  ``arena_size`` is forwarded to the executors for the
+    same reason across *plans* (see GroupExecutor).
+    """
+
+    def __init__(self, gplan, hasher: str = "aes", mesh=None,
+                 batch_bucket: int | None = None,
+                 arena_size: int | None = None):
         self.gplan = gplan
         self.n_inputs = gplan.n_inputs
         self.hasher = hasher
         self.mesh = mesh  # optional instances-axis Mesh (SPMD batched passes)
+        self.batch_bucket = batch_bucket
+        self.arena_size = arena_size
         self._ex: dict = {}
+
+    def bucket(self, n: int) -> int:
+        """Effective batch for a phase that needs ``n`` live instances."""
+        return max(n, self.batch_bucket or 0)
 
     def executor(self, batch: int | None = None) -> GroupExecutor:
         ex = self._ex.get(batch)
         if ex is None:
             ex = GroupExecutor(
-                self.gplan, batch=batch, hasher=self.hasher, mesh=self.mesh
+                self.gplan, batch=batch, hasher=self.hasher, mesh=self.mesh,
+                arena_size=self.arena_size,
             )
             self._ex[batch] = ex
         return ex
@@ -72,6 +89,34 @@ def _garble_args(rngs, n_inputs):
     f0 = np.stack([words_from_int(r.false_label0) for r in rngs])
     t0 = np.stack([words_from_int(r.true_label0) for r in rngs])
     return l0, delta, f0, t0
+
+
+_FILLER_SEED = 0xF111E0_5EED  # deterministic throwaway-instance seeds
+
+
+def _pad_seeds(seeds: list[int], bucket: int) -> list[int]:
+    """Pad a phase's seed list to the runner's batch bucket with filler
+    instances (garbled and discarded) so the phase reuses the bucket-batch
+    compiled programs instead of forcing a new (mode, batch) compile fill."""
+    pad = bucket - len(seeds)
+    return list(seeds) + [_FILLER_SEED + i for i in range(pad)]
+
+
+def _batched_garble(runner: GroupedRunner, seeds: list[int]):
+    """Commit-garble ``seeds`` at the runner's batch bucket; returns
+    (outw, digest) sliced back to ``len(seeds)`` rows."""
+    n = len(seeds)
+    B = runner.bucket(n)
+    rngs = [GarblerRng(s) for s in _pad_seeds(seeds, B)]
+    l0, delta, f0, t0 = _garble_args(rngs, runner.n_inputs)
+    ex = runner.executor(batch=B if B > 1 else None)
+    if B == 1:
+        l0, delta, f0, t0 = l0[0], delta[0], f0[0], t0[0]
+    outw, _, digest = ex.garble(l0, delta, f0, t0, ct_handler=None, commit=True)
+    return (
+        np.asarray(outw).reshape(B, -1, 4)[:n],
+        np.asarray(digest).reshape(B, 4)[:n],
+    )
 
 
 def _instances_from(seeds, outw, digests, n_inputs):
@@ -108,15 +153,7 @@ class GroupedGarbler:
         self.instances: list[GarbledInstance] = []
 
     def create(self) -> None:
-        B = self.config.total
-        rngs = [GarblerRng(s) for s in self.seeds]
-        l0, delta, f0, t0 = _garble_args(rngs, self.runner.n_inputs)
-        ex = self.runner.executor(batch=B if B > 1 else None)
-        if B == 1:
-            l0, delta, f0, t0 = l0[0], delta[0], f0[0], t0[0]
-        outw, _, digest = ex.garble(l0, delta, f0, t0, ct_handler=None, commit=True)
-        digest = np.asarray(digest).reshape(B, 4)
-        outw = np.asarray(outw).reshape(B, -1, 4)
+        outw, digest = _batched_garble(self.runner, self.seeds)
         self.instances = _instances_from(self.seeds, outw, digest, self.runner.n_inputs)
 
     def commit(self) -> list[GarbledInstanceCommit]:
@@ -150,19 +187,8 @@ class GroupedEvaluator(Evaluator):
             return
         idxs = sorted(open_seeds)
         seeds = [open_seeds[i] for i in idxs]
-        B = len(seeds)
-        rngs = [GarblerRng(s) for s in seeds]
-        l0, delta, f0, t0 = _garble_args(rngs, runner.n_inputs)
-        ex = runner.executor(batch=B if B > 1 else None)
-        if B == 1:
-            l0, delta, f0, t0 = l0[0], delta[0], f0[0], t0[0]
-        outw, _, digest = ex.garble(l0, delta, f0, t0, ct_handler=None, commit=True)
-        insts = _instances_from(
-            seeds,
-            np.asarray(outw).reshape(B, -1, 4),
-            np.asarray(digest).reshape(B, 4),
-            runner.n_inputs,
-        )
+        outw, digest = _batched_garble(runner, seeds)
+        insts = _instances_from(seeds, outw, digest, runner.n_inputs)
         for k, i in enumerate(idxs):
             if GarbledInstanceCommit.of(insts[k]) != self.commits[i]:
                 raise ConsistencyError(f"opened instance {i}: commit mismatch")
@@ -193,29 +219,34 @@ class GroupedEvaluator(Evaluator):
                 )
 
         seed = garbler.instances[index].seed
-        rng = GarblerRng(seed)
-        l0_ints = [rng.issue_label0() for _ in range(runner.n_inputs)]
-        bits = np.asarray([int(w.value) for w in input_wires], dtype=np.uint8)
-        res = runner.executor().garble_evaluate_2pc(
-            words_from_int_array(l0_ints),
-            bits,
-            words_from_int(rng.delta),
-            words_from_int(rng.false_label0),
-            words_from_int(rng.true_label0),
-            eval_active=words_from_int_array(
-                [w.active_label for w in input_wires]
-            ),
-            eval_false_active=words_from_int(false_label),
-            eval_true_active=words_from_int(true_label),
+        B = runner.bucket(1)
+        rngs = [GarblerRng(s) for s in _pad_seeds([seed], B)]
+        l0, delta, f0, t0 = _garble_args(rngs, runner.n_inputs)
+        bits = np.zeros((B, runner.n_inputs), np.uint8)
+        bits[0] = [int(w.value) for w in input_wires]
+        # lane 0 evaluates the protocol-received actives; filler lanes
+        # self-select (label0 ^ bit*delta) and are discarded
+        ea = l0 ^ (bits[..., None].astype(np.uint32) * delta[:, None, :])
+        ea[0] = words_from_int_array([w.active_label for w in input_wires])
+        efa, eta = f0.copy(), t0 ^ delta
+        efa[0] = words_from_int(false_label)
+        eta[0] = words_from_int(true_label)
+        if B == 1:
+            l0, delta, f0, t0 = l0[0], delta[0], f0[0], t0[0]
+            bits, ea, efa, eta = bits[0], ea[0], efa[0], eta[0]
+        res = runner.executor(batch=B if B > 1 else None).garble_evaluate_2pc(
+            l0, bits, delta, f0, t0,
+            eval_active=ea, eval_false_active=efa, eval_true_active=eta,
         )
         # the protocol's finalized-stream-hash check: the digest of the
         # stream the evaluator consumed must equal the pre-challenge commit
-        if np.asarray(res["evaluate_digest"]).tobytes() != commit.ciphertext_commit:
+        dig = np.asarray(res["evaluate_digest"]).reshape(B, 4)[0]
+        if dig.tobytes() != commit.ciphertext_commit:
             raise ConsistencyError(f"instance {index}: ciphertext digest mismatch")
         out_label = int_array_from_words(
-            np.asarray(res["out_active"]).reshape(-1, 4)
+            np.asarray(res["out_active"]).reshape(B, -1, 4)[0]
         )[0]
-        out_value = bool(np.asarray(res["out_bits"]).reshape(-1)[0])
+        out_value = bool(np.asarray(res["out_bits"]).reshape(B, -1)[0, 0])
         want = (
             commit.output_label1_commit
             if out_value

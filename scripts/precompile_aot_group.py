@@ -54,9 +54,10 @@ def main():
     work = list(progs.values())
     print(f"{len(work)} group programs ({mode}, commit={commit})", flush=True)
 
-    arena = np.zeros(
-        (B, gplan.arena_size, 4) if B > 1 else (gplan.arena_size, 4), np.uint32
-    )
+    # GSV_ARENA_SIZE: compile at a shared arena size (>= the plan's own) so
+    # multiple plans reuse one another's programs — see GroupExecutor.
+    A = max(int(os.environ.get("GSV_ARENA_SIZE", 0)), gplan.arena_size)
+    arena = np.zeros((B, A, 4) if B > 1 else (A, 4), np.uint32)
     bits = np.zeros(arena.shape[:-1], np.uint8)
     delta = np.zeros((B, 4) if B > 1 else (4,), np.uint32)
     digest = np.zeros((B, 4) if B > 1 else (4,), np.uint32)
