@@ -187,3 +187,37 @@ def test_single_instance_config(runner):
     )
     want = np.asarray(GroupExecutor(runner.gplan).execute(bits))
     assert out.value == bool(want[0])
+
+
+def test_batch_bucket_and_shared_arena_match_plain(runner):
+    """batch_bucket padding + an oversized shared arena are pure compile-
+    economics knobs: every protocol byte (commits, digests, outputs) must
+    be identical to the unbucketed flow at the plan's native arena size."""
+    cfg = Config(total=3, to_finalize=1)
+    plain_g = GroupedGarbler(runner, cfg, seeds=[11, 22, 33])
+    plain_g.create()
+
+    bucketed = GroupedRunner(
+        runner.gplan,
+        batch_bucket=5,
+        arena_size=runner.gplan.arena_size + 1234,
+    )
+    g = GroupedGarbler(bucketed, cfg, seeds=[11, 22, 33])
+    g.create()
+    commits = g.commit()
+    assert commits == plain_g.commit()
+
+    ev = GroupedEvaluator(random.Random(7), cfg, commits)
+    ev.check_opened(bucketed, g.open_commit(ev.to_finalize))
+
+    idx = ev.to_finalize[0]
+    inst = g.instances[idx]
+    bits = np.random.default_rng(3).integers(0, 2, size=N_IN).astype(np.uint8)
+    out = ev.evaluate_finalized(
+        bucketed, g, idx, _inputs(g, idx, bits),
+        true_label=inst.true_wire.select(True),
+        false_label=inst.false_wire.select(False),
+    )
+    want = np.asarray(GroupExecutor(runner.gplan).execute(bits))
+    assert out.value == bool(want[0])
+    assert out.active_label == inst.output_label.select(out.value)
