@@ -1,0 +1,63 @@
+#!/bin/bash
+# Round-3 flagship protocol chain (restartable; safe to re-run).
+#
+# Fills are remote COMPILES only (lower+compile from host avals — no chip
+# time), then the two flagship flows run warm on the chip:
+#   1) nocts@2 / garble@2 / evaluate@2 on the uniform plan (82 programs each)
+#   2) the same three modes on the compressed plan at the SHARED arena size
+#      (2,542,805 = the uniform plan's) — 79/82 programs are already step 1's,
+#      so each pass compiles ~3 programs
+#   3) examples/groth16_2pc_roundtrip.py 2 --tpu        (uniform, B=2)
+#   4) examples/groth16_cut_and_choose_full.py 2 1 --tpu (compressed, shared
+#      arena, batch_bucket=total: every phase reuses the same 3 fills)
+set -x
+cd "$(dirname "$0")/.."
+
+UNI=.gplan_k6_uniform_1048576.pkl
+CMP=.gplan_k6_compressed_uniform_1048576.pkl
+ARENA=2542805
+
+probe() {
+  timeout 180 python -c "import jax; jax.devices(); print('TPU_OK')" 2>/dev/null \
+    | grep -q TPU_OK
+}
+
+fill() {  # fill <B> <pkl> <mode> <log> [arena]
+  local pass_log="$4.pass"
+  for i in $(seq 1 40); do
+    echo "=== $3 B=$1 pass $i $(date -u +%H:%M:%S) ===" >> "$4"
+    GSV_ARENA_SIZE="${5:-0}" timeout 10800 \
+      python scripts/precompile_aot_group.py "$1" "$2" "$3" > "$pass_log" 2>&1 || true
+    cat "$pass_log" >> "$4"
+    grep -q "precompile complete (0 failed)" "$pass_log" && return 0
+    probe || { echo "tunnel gone; waiting" >> "$4"; until probe; do sleep 240; done; }
+    sleep 5
+  done
+  return 1
+}
+
+commit_cache() {
+  git add -f .jit_cache && git commit -q -m "$1" -- .jit_cache
+}
+
+until probe; do echo "$(date -u +%H:%M) TPU down" >> /tmp/tpu_watch.log; sleep 240; done
+
+for m in garble_nocts garble evaluate; do
+  fill 2 "$UNI" "$m" /tmp/fill_uni2_$m.log || exit 1
+done
+commit_cache "Warm cache: uniform-plan B=2 garble_nocts/garble/evaluate programs"
+
+for m in garble_nocts garble evaluate; do
+  fill 2 "$CMP" "$m" /tmp/fill_cmp2_$m.log "$ARENA" || exit 1
+done
+commit_cache "Warm cache: compressed-plan B=2 programs at the shared arena"
+
+timeout 14400 python examples/groth16_2pc_roundtrip.py 2 --tpu \
+  > /tmp/roundtrip_tpu.log 2>&1
+grep -q "2PC ROUNDTRIP PASSED" /tmp/roundtrip_tpu.log || exit 1
+
+GSV_ARENA_SIZE=$ARENA timeout 14400 \
+  python examples/groth16_cut_and_choose_full.py 2 1 --tpu \
+  > /tmp/c2c_tpu.log 2>&1
+grep -q "CUT-AND-CHOOSE FULL-VERIFIER FLOW PASSED" /tmp/c2c_tpu.log || exit 1
+echo "R3 PROTOCOL CHAIN COMPLETE $(date -u)" >> /tmp/r3_chain.log
