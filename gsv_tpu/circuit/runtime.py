@@ -808,7 +808,7 @@ def _scatter_outputs_g(arena, header_maps, frame_bases, outputs_maps, out_ops):
     return arena.at[outputs_maps].set(arena[src])
 
 
-def _digest_update(digest, cts, group_id):
+def _digest_update(digest, cts, group_id, hasher="aes"):
     """TPU-native streaming commitment: XOR-accumulate fixed-key AES over
     position-tweaked ciphertext rows (tweak = (group_id, row)).  Replaces the
     reference's sequential chain h <- AES(h ^ ct) (ciphertext_hasher.rs:16-33)
@@ -818,10 +818,10 @@ def _digest_update(digest, cts, group_id):
     rows = cts.shape[0] - 1  # exclude the trash row (scatter-order dependent)
     if rows == 0:
         return digest
-    return _digest_update_rows(digest, cts[:rows], group_id, 0)
+    return _digest_update_rows(digest, cts[:rows], group_id, 0, hasher)
 
 
-def _digest_update_rows(digest, body, group_id, row0):
+def _digest_update_rows(digest, body, group_id, row0, hasher="aes"):
     """Fold ``body`` rows with tweaks starting at global row ``row0``.  The
     XOR fold is associative, so devices holding disjoint row blocks of one
     group's buffer can fold locally with their global offsets and combine
@@ -842,7 +842,7 @@ def _digest_update_rows(digest, body, group_id, row0):
         idx = row0 + idx
     tw = tweak_words(gids, idx, xp=jnp)
     blocks, _ = _pad32(body ^ tw)
-    h = _aes_blocks(blocks, "aes")[:rows]
+    h = _aes_blocks(blocks, hasher)[:rows]
     fold = jax.lax.reduce(h, jnp.uint32(0), jax.lax.bitwise_xor, dimensions=(0,))
     return digest ^ fold
 
@@ -1006,7 +1006,7 @@ def _group_step_fn(mode: str, hasher: str, batch: int | None, commit: bool,
             arena = _scatter_outputs_g(arena, header_maps, frame_bases,
                                        outputs_maps, out_ops)
             if commit:
-                digest = _digest_update(digest, cts, group_id)
+                digest = _digest_update(digest, cts, group_id, hasher)
             if not emit_cts:
                 return arena, digest
             return arena, cts, digest
@@ -1027,7 +1027,7 @@ def _group_step_fn(mode: str, hasher: str, batch: int | None, commit: bool,
                 arena = arena.at[outputs_maps].set(arena[src])
                 bits = bits.at[outputs_maps].set(bits[src])
             if commit:
-                digest = _digest_update(digest, cts_in, group_id)
+                digest = _digest_update(digest, cts_in, group_id, hasher)
             return arena, bits, digest
 
         return step
@@ -1070,7 +1070,7 @@ def _generic_group_jit(mode: str, hasher: str, batch: int | None, commit: bool =
             )
             arena = _scatter_outputs_g(arena, header_maps, frame_bases, outputs_maps, out_ops)
             if commit:
-                digest = _digest_update(digest, cts, group_id)
+                digest = _digest_update(digest, cts, group_id, hasher)
             if not emit_cts:
                 return arena, digest
             return arena, cts, digest
@@ -1100,7 +1100,7 @@ def _generic_group_jit(mode: str, hasher: str, batch: int | None, commit: bool =
                 # same fold as garble over the SAME buffer layout, so the
                 # evaluator's digest of the stream it actually consumed can
                 # be checked against the garbler's commitment
-                digest = _digest_update(digest, cts_in, group_id)
+                digest = _digest_update(digest, cts_in, group_id, hasher)
             return arena, bits, digest
 
         if batch:
