@@ -29,7 +29,7 @@ GPLAN = ".gplan_k6_uniform_1048576.pkl"
 BASELINE = 249e6  # reference 16-instance / 8-core aggregate
 
 
-def bench_full(B: int) -> dict:
+def bench_full(B: int, hasher: str = "aes") -> dict:
     import jax
 
     from gsv_tpu.circuit.runtime import GroupExecutor
@@ -40,7 +40,7 @@ def bench_full(B: int) -> dict:
         gplan = pickle.load(fh)
 
     batch = B if B > 1 else None
-    ex = GroupExecutor(gplan, batch=batch)
+    ex = GroupExecutor(gplan, batch=batch, hasher=hasher)
     rngs = [GarblerRng(1 + i) for i in range(max(B, 1))]
     in_l0 = np.stack(
         [words_from_int_array([r.issue_label0() for r in rngs])
@@ -63,7 +63,8 @@ def bench_full(B: int) -> dict:
     dt = run_once()
     rate = gplan.total_gates * max(B, 1) / dt
     return {
-        "metric": "full_groth16_garble_gates_per_sec",
+        "metric": "full_groth16_garble_gates_per_sec"
+        + ("" if hasher == "aes" else f"_{hasher}"),
         "value": round(rate),
         "unit": "gates/s",
         "vs_baseline": round(rate / BASELINE, 3),
@@ -176,16 +177,23 @@ def main() -> None:
     # .bench_full_ready is written once the cts-free garble programs are in
     # the persistent cache; without it the full bench would sit in ~1h of
     # cold remote compiles, so fall back to the (cached) fq12 microbench.
+    # the full path needs a warm fill for ITS hasher variant: the default
+    # sentinel gates hasher=aes; a pallas fill writes .bench_full_ready_pallas
+    sentinel = (
+        ".bench_full_ready"
+        if hasher == "aes"
+        else f".bench_full_ready_{hasher.replace('aes_', '')}"
+    )
     want_full = (
         "--fq12" not in sys.argv
-        and hasher == "aes"
+        and hasher in ("aes", "aes_pallas")
         and os.path.exists(GPLAN)
-        and (os.path.exists(".bench_full_ready") or "--full" in sys.argv)
+        and (os.path.exists(sentinel) or "--full" in sys.argv)
     )
     result = None
     if want_full:
         try:
-            result = bench_full(B)
+            result = bench_full(B, hasher=hasher)
         except Exception as e:  # noqa: BLE001 — fall back to the microbench
             print(f"full-verifier bench failed ({type(e).__name__}: {e}); "
                   f"falling back to fq12", file=sys.stderr, flush=True)

@@ -65,6 +65,7 @@ def main():
     t0 = time.time()
     done = failed = 0
     packed = os.environ.get("GSV_PACKED_SEGS", "0") == "1"
+    hasher = os.environ.get("GSV_HASHER", "aes")
     from gsv_tpu.circuit.runtime import (
         _packed_group_jit,
         pack_seg_args,
@@ -80,11 +81,11 @@ def main():
                   flush=True)
         if packed and use_packed_segs(g.tape, g.header_maps.shape[0]):
             p32, p8, layout = pack_seg_args(segs_np)
-            jfn = _packed_group_jit(mode, "aes", B if B > 1 else None,
+            jfn = _packed_group_jit(mode, hasher, B if B > 1 else None,
                                     commit, emit_cts, layout)
             tail = (p32, p8)
         else:
-            jfn = _generic_group_jit(mode, "aes", B if B > 1 else None,
+            jfn = _generic_group_jit(mode, hasher, B if B > 1 else None,
                                      commit, emit_cts=emit_cts)
             tail = (segs_np,)
         Hb, ctb, ob = meta["Hb"], meta["ctb"], meta["ob"]
