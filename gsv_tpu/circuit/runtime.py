@@ -47,26 +47,43 @@ from gsv_tpu.ops.blake3_jax import blake3_hash_words
 from gsv_tpu.ops.tweaks import tweak_words
 
 
-# Pallas AES pays off only when the doubled block batch fills whole lane
-# tiles; below this the XLA elementwise path wins (and tiny segments would
-# pad 512x).  16384 blocks = 1 tile of 512 lanes.
-_PALLAS_MIN_BLOCKS = 16384
+# Pallas AES pays off only when the block batch (INCLUDING the collapsed
+# instance-batch axis — see aes_pallas.aes_encrypt_words_pallas_batched)
+# fills lane tiles; below the effective threshold the XLA elementwise path
+# wins (it fuses with the surrounding gather/scatter).  The group-program
+# factories divide this by the batch size and thread the result through
+# the hasher tag as "aes_pallas:<min_unbatched_blocks>" — the tag is only
+# ever constructed internally; executors take plain "aes_pallas".
+_PALLAS_MIN_BLOCKS = 4096
+
+
+def _is_pallas(hasher) -> bool:
+    return isinstance(hasher, str) and hasher.startswith("aes_pallas")
+
+
+def _pallas_hasher_tag(hasher, batch) -> str:
+    """Executor hasher -> internal tag with the per-batch effective gate."""
+    if not _is_pallas(hasher) or ":" in hasher:
+        return hasher
+    return f"aes_pallas:{max(32, _PALLAS_MIN_BLOCKS // max(batch or 1, 1))}"
 
 
 def _aes_blocks(blocks, hasher):
     """Fixed-key AES over (n, 4) word blocks by hasher flavor."""
-    if hasher == "aes_pallas" and blocks.shape[0] >= _PALLAS_MIN_BLOCKS:
-        from gsv_tpu.ops.aes_pallas import aes_encrypt_words_pallas
+    if _is_pallas(hasher):
+        minb = int(hasher.split(":")[1]) if ":" in hasher else _PALLAS_MIN_BLOCKS
+        if blocks.shape[0] >= minb:
+            from gsv_tpu.core.hw import tpu_available
+            from gsv_tpu.ops.aes_pallas import aes_encrypt_words_pallas_batched
 
-        from gsv_tpu.core.hw import tpu_available
-
-        return aes_encrypt_words_pallas(blocks, interpret=not tpu_available())
+            return aes_encrypt_words_pallas_batched(
+                blocks, interpret=not tpu_available())
     return aes_encrypt_words(blocks, xp=jnp)
 
 
 def _gate_hash2(sel_a, other_a, hi, lo, hasher):
     """Hash both a-labels with the same gate id (garble path)."""
-    if hasher in ("aes", "aes_pallas"):
+    if hasher == "aes" or _is_pallas(hasher):
         tw = tweak_words(hi, lo, xp=jnp)
         blocks = jnp.concatenate([sel_a ^ tw, other_a ^ tw], axis=0)
         n = blocks.shape[0]
@@ -82,7 +99,7 @@ def _gate_hash2(sel_a, other_a, hi, lo, hasher):
 
 def _gate_hash1(labels, hi, lo, hasher):
     """Hash the single active a-label (evaluate path)."""
-    if hasher in ("aes", "aes_pallas"):
+    if hasher == "aes" or _is_pallas(hasher):
         tw = tweak_words(hi, lo, xp=jnp)
         blocks, _ = _pad32(labels ^ tw)
         return _aes_blocks(blocks, hasher)[: labels.shape[0]]
@@ -861,6 +878,7 @@ def _generic_jit(mode: str, hasher: str, batch: int | None):
     fn = _GENERIC_JITS.get(key)
     if fn is not None:
         return fn
+    hasher = _pallas_hasher_tag(hasher, batch)
 
     if mode == "execute":
 
@@ -924,6 +942,7 @@ def _packed_group_jit(mode: str, hasher: str, batch: int | None, commit: bool,
     distinct tape signatures (~82 on the full verifier), so this stays
     small while the per-dispatch leaf count drops ~9x."""
     key = ("p", mode, hasher, batch, commit, emit_cts, layout)
+    hasher = _pallas_hasher_tag(hasher, batch)
     fn = _GROUP_JITS.get(key)
     if fn is not None:
         return fn
@@ -1044,6 +1063,7 @@ def _generic_group_jit(mode: str, hasher: str, batch: int | None, commit: bool =
     pending dispatches hold ~2GB of HBM and the full-verifier pass OOMs,
     while throttling to a safe depth serializes on the tunnel RTT."""
     key = ("g", mode, hasher, batch, commit, emit_cts)
+    hasher = _pallas_hasher_tag(hasher, batch)
     fn = _GROUP_JITS.get(key)
     if fn is not None:
         return fn

@@ -39,6 +39,15 @@ from gsv_tpu.ops.aes_jax import (
 
 LANE_TILE = 512  # lanes per grid step; 512 * 32 blocks = 16,384 blocks/tile
 
+
+def _lane_tile(m: int) -> int:
+    """Static per-shape tile: full 512-lane tiles when the batch fills them,
+    down to the 128-lane VPU minimum so medium waves don't pad 4-16x."""
+    for t in (512, 256, 128):
+        if m >= t:
+            return t
+    return 128
+
 # Pallas kernels cannot capture array constants, so ShiftRows is a static
 # slice-stack (fixed permutation) and round keys arrive as a kernel input.
 _SR = [int(p) for p in _SHIFTROWS_SRC]
@@ -66,14 +75,16 @@ def _aes_tile_kernel(planes_ref, rk_ref, out_ref):
 def aes_encrypt_planes_pallas(planes, interpret=False):
     """Fixed-key AES-128 on (8, 16, m) bit planes as a Pallas kernel.
 
-    m must be a multiple of LANE_TILE (callers pad; each lane is 32 blocks).
+    m must be a multiple of the static per-shape lane tile (callers pad;
+    each lane is 32 blocks).
     """
     from jax.experimental import pallas as pl
 
     m = planes.shape[-1]
-    assert m % LANE_TILE == 0, m
-    grid = (m // LANE_TILE,)
-    spec = pl.BlockSpec((8, 16, LANE_TILE), lambda i: (0, 0, i))
+    tile = _lane_tile(m)
+    assert m % tile == 0, (m, tile)
+    grid = (m // tile,)
+    spec = pl.BlockSpec((8, 16, tile), lambda i: (0, 0, i))
     rk_spec = pl.BlockSpec((11, 8, 16), lambda i: (0, 0, 0))
     return pl.pallas_call(
         _aes_tile_kernel,
@@ -88,7 +99,7 @@ def aes_encrypt_planes_pallas(planes, interpret=False):
 def aes_encrypt_words_pallas(blocks, interpret=False):
     """Fixed-key AES-128 ECB over (n, 4) uint32 word blocks via Pallas.
 
-    Pads the lane axis up to a LANE_TILE multiple (zero lanes are encrypted
+    Pads the lane axis up to a tile multiple (zero lanes are encrypted
     and discarded — fixed key, so no data-dependent cost).
     """
     n = blocks.shape[0]
@@ -96,10 +107,49 @@ def aes_encrypt_words_pallas(blocks, interpret=False):
         raise ValueError("block count must be a multiple of 32 (pad first)")
     planes = pack_planes(blocks, xp=jnp)
     m = planes.shape[-1]
-    pad = (-m) % LANE_TILE
+    pad = (-m) % _lane_tile(m)
     if pad:
         planes = jnp.pad(planes, ((0, 0), (0, 0), (0, pad)))
     out = aes_encrypt_planes_pallas(planes, interpret=interpret)
     if pad:
         out = out[..., :m]
     return unpack_planes(out, xp=jnp)
+
+
+# ------------------------------------------------------------------
+# Batch-aware form: under jax.vmap (the group programs are vmapped over
+# the instance batch), a plain pallas kernel would get a leading grid
+# axis and pad EVERY instance's lanes to a full tile — a medium wave of
+# 1024 blocks per instance would waste 16x.  AES is elementwise per
+# block, so vmap == flatten-batch-into-blocks: this custom_vmap rule
+# collapses (B, n, 4) -> (B*n, 4), making the kernel 32x wider instead.
+# ------------------------------------------------------------------
+
+
+def _make_words_cv(interpret: bool):
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def words(blocks):
+        return aes_encrypt_words_pallas(blocks, interpret=interpret)
+
+    @words.def_vmap
+    def _rule(axis_size, in_batched, blocks):  # noqa: ARG001
+        (bb,) = in_batched
+        if not bb:
+            return aes_encrypt_words_pallas(blocks, interpret=interpret), False
+        B, n, w = blocks.shape
+        out = aes_encrypt_words_pallas(blocks.reshape(B * n, w),
+                                       interpret=interpret)
+        return out.reshape(B, n, w), True
+
+    return words
+
+
+_WORDS_CV = {False: _make_words_cv(False), True: _make_words_cv(True)}
+
+
+def aes_encrypt_words_pallas_batched(blocks, interpret=False):
+    """Drop-in for aes_encrypt_words_pallas that collapses a vmap batch
+    axis into the block axis (one wide kernel per wave, not B narrow ones)."""
+    return _WORDS_CV[bool(interpret)](blocks)

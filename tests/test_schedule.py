@@ -470,3 +470,29 @@ def test_evaluate_matches(plans):
         np.asarray(val_grp).tolist(),
     ):
         assert lab == (w0 ^ (delta if v else 0))
+
+
+def test_batched_pallas_group_matches_aes(plans, monkeypatch):
+    """hasher='aes_pallas' on a BATCHED GroupExecutor: the custom_vmap rule
+    collapses the instance batch into the AES block axis (one wide kernel
+    per wave instead of B tile-padded ones) — every digest and output label
+    must stay bit-identical to the XLA 'aes' path."""
+    from gsv_tpu.circuit import runtime as rt
+
+    monkeypatch.setattr(rt, "_PALLAS_MIN_BLOCKS", 1)
+    _, gplan = plans
+    B = 3
+    rngs = [GarblerRng(50 + i) for i in range(B)]
+    in_l0 = np.stack(
+        [words_from_int_array([r.issue_label0() for r in rngs])
+         for _ in range(N_IN)], axis=1)
+    delta = words_from_int_array([r.delta for r in rngs])
+    f0 = words_from_int_array([r.false_label0 for r in rngs])
+    t0 = words_from_int_array([r.true_label0 for r in rngs])
+    outs = {}
+    for hasher in ("aes", "aes_pallas"):
+        out, _, dig = GroupExecutor(gplan, batch=B, hasher=hasher).garble(
+            in_l0, delta, f0, t0, ct_handler=None, commit=True)
+        outs[hasher] = (np.asarray(out), np.asarray(dig))
+    assert (outs["aes"][0] == outs["aes_pallas"][0]).all()
+    assert (outs["aes"][1] == outs["aes_pallas"][1]).all()
