@@ -31,14 +31,23 @@ fill() {  # fill <mode> <log>
 
 until probe; do echo "$(date -u +%H:%M) TPU down" >> /tmp/tpu_watch.log; sleep 240; done
 
+# fill FIRST (compile-only, no chip time — runs fine alongside a bench);
+# the on-chip A/B probe runs afterwards, when the chip is free
+fill garble_nocts /tmp/fill_pallas32.log || exit 1
+touch .bench_full_ready_pallas
+git add -f .jit_cache && git commit -q -m "Warm cache: pallas-hasher garble_nocts@32 programs" -- .jit_cache
+
+# chip phases serialize on a mutex; also wait out the legacy XLA bench
+while ps -o args= -C python,python3 2>/dev/null | grep -qE "bench\.py 32$|bench\.py 32 $"; do
+  sleep 120
+done
+exec 9>/tmp/tpu_chip.lock
+flock 9
+
 if [ ! -f /tmp/pallas_probe.done ]; then
   timeout 1800 python scripts/probe_aes_pallas.py > /tmp/pallas_probe.log 2>&1
   touch /tmp/pallas_probe.done
 fi
-
-fill garble_nocts /tmp/fill_pallas32.log || exit 1
-touch .bench_full_ready_pallas
-git add -f .jit_cache && git commit -q -m "Warm cache: pallas-hasher garble_nocts@32 programs" -- .jit_cache
 
 timeout 14400 python bench.py 32 --hasher=aes_pallas > /tmp/bench_pallas.log 2>&1
 tail -1 /tmp/bench_pallas.log

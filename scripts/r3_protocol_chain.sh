@@ -52,6 +52,13 @@ for m in garble_nocts garble evaluate; do
 done
 commit_cache "Warm cache: compressed-plan B=2 programs at the shared arena"
 
+# chip phases serialize on a mutex; also wait out the legacy XLA bench
+while ps -o args= -C python,python3 2>/dev/null | grep -qE "bench\.py 32$|bench\.py 32 $"; do
+  sleep 120
+done
+exec 9>/tmp/tpu_chip.lock
+flock 9
+
 timeout 14400 python examples/groth16_2pc_roundtrip.py 2 --tpu \
   > /tmp/roundtrip_tpu.log 2>&1
 grep -q "2PC ROUNDTRIP PASSED" /tmp/roundtrip_tpu.log || exit 1
