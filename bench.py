@@ -53,14 +53,17 @@ def bench_full(B: int, hasher: str = "aes") -> dict:
     if batch is None:
         in_l0, delta, f0, t0s = in_l0[0], delta[0], f0[0], t0s[0]
 
-    def run_once():
+    def run_once(tag):
         t = time.perf_counter()
         _, _, digest = ex.garble(in_l0, delta, f0, t0s, ct_handler=None, commit=True)
         assert digest is not None
-        return time.perf_counter() - t
+        dt = time.perf_counter() - t
+        print(f"[bench] {tag} pass: {dt:.0f}s wall (honest D2H-synced)",
+              file=sys.stderr, flush=True)
+        return dt
 
-    run_once()  # warm-up: uploads + compile-cache hits
-    dt = run_once()
+    run_once("warm")  # uploads + compile-cache hits, drained by the fetch
+    dt = run_once("timed")
     rate = gplan.total_gates * max(B, 1) / dt
     return {
         "metric": "full_groth16_garble_gates_per_sec"
@@ -145,6 +148,10 @@ def bench_fq12(B: int, hasher: str = "aes") -> dict:
 
 def main() -> None:
     import signal
+
+    from gsv_tpu.core.logging import init_tracing
+
+    init_tracing()  # 50M-gate progress lines to stderr
 
     def _dead_backend(signum, frame):
         print(
