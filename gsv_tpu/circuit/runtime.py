@@ -112,6 +112,25 @@ def _abs_idx(op_codes, header_map, frame_base, H: int):
     return jnp.where(ops < H, hdr, frame_base + ops - H)
 
 
+_H2D_CHUNK = 8 << 20  # bytes; the tunneled client moves <=16MB buffers at
+# ~14-28 MB/s but falls off a cliff above (measured r3: 64MB = 322s, i.e.
+# 0.2 MB/s — a 126MB fat-tape header map or a 1.3GB arena upload costs
+# MINUTES to HOURS if shipped whole).
+
+
+def h2d(arr, chunk_bytes: int = _H2D_CHUNK):
+    """Host->device transfer that never ships a buffer the tunnel chokes on:
+    large arrays go up as <=chunk_bytes flat pieces and are reassembled by
+    one on-device concatenate."""
+    a = np.ascontiguousarray(arr)
+    if a.nbytes <= chunk_bytes:
+        return jnp.asarray(a)
+    flat = a.reshape(-1)
+    per = max(1, chunk_bytes // a.itemsize)
+    parts = [jnp.asarray(flat[i : i + per]) for i in range(0, flat.size, per)]
+    return jnp.concatenate(parts).reshape(a.shape)
+
+
 def _pad32(blocks):
     n = blocks.shape[0]
     pad = (-n) % 32
@@ -1176,10 +1195,46 @@ class GroupExecutor:
         """Lay a batched array across the instances mesh axis (no-op
         without a mesh)."""
         if self.mesh is None or self.batch is None:
-            return jnp.asarray(arr)
+            return h2d(arr)
         from gsv_tpu.parallel.sharding import shard_instances
 
         return shard_instances(self.mesh, np.asarray(arr))
+
+    def _build_arena(self, false_label0, true_label0, input_label0s):
+        """Assemble the label arena ON DEVICE: a zeros buffer + the constant
+        rows + ~n_inputs rows of real data, instead of shipping
+        arena_size x 16B of host zeros (1.3GB at B=32) through the tunnel
+        (whose large-transfer path runs at ~0.2 MB/s — see h2d)."""
+        plan = self.plan
+        batched = self.batch
+        shape = (batched, self.arena_size, 4) if batched else (self.arena_size, 4)
+        if self.mesh is not None:
+            arena = np.zeros(shape, dtype=np.uint32)
+            arena[..., 0, :] = false_label0
+            arena[..., 1, :] = true_label0
+            arena[..., plan.input_abs, :] = input_label0s
+            return self._shard(arena)
+        consts = np.stack(
+            [np.asarray(false_label0, np.uint32),
+             np.asarray(true_label0, np.uint32)], axis=-2)
+        arena = jnp.zeros(shape, jnp.uint32)
+        arena = arena.at[..., 0:2, :].set(jnp.asarray(consts))
+        return arena.at[..., jnp.asarray(plan.input_abs), :].set(
+            h2d(np.asarray(input_label0s, np.uint32)))
+
+    def _build_bits(self, input_bits):
+        """Evaluator bit vector, assembled on device (see _build_arena)."""
+        plan = self.plan
+        batched = self.batch
+        bshape = (batched, self.arena_size) if batched else (self.arena_size,)
+        if self.mesh is not None:
+            bits = np.zeros(bshape, dtype=np.uint8)
+            bits[..., 1] = 1
+            bits[..., plan.input_abs] = input_bits
+            return self._shard(bits)
+        bits = jnp.zeros(bshape, jnp.uint8).at[..., 1].set(1)
+        return bits.at[..., jnp.asarray(plan.input_abs)].set(
+            h2d(np.asarray(input_bits, np.uint8)))
 
     # -- device-resident per-tape / per-group data -----------------------
 
@@ -1188,7 +1243,7 @@ class GroupExecutor:
         dev = self._dev.get(key)
         if dev is None:
             segs_np, oo_np, meta = padded_seg_args_group(tape)
-            segs = [{f: jnp.asarray(v) for f, v in d.items()} for d in segs_np]
+            segs = [{f: h2d(v) for f, v in d.items()} for d in segs_np]
             dev = (segs, jnp.asarray(oo_np), meta)
             self._dev[key] = dev
         return dev
@@ -1200,7 +1255,7 @@ class GroupExecutor:
         if dev is None:
             segs_np, oo_np, meta = padded_seg_args_group(tape)
             pool32, pool8, layout = pack_seg_args(segs_np)
-            dev = (jnp.asarray(pool32), jnp.asarray(pool8), layout,
+            dev = (h2d(pool32), h2d(pool8), layout,
                    jnp.asarray(oo_np), meta)
             self._dev[key] = dev
         return dev
@@ -1245,8 +1300,8 @@ class GroupExecutor:
             ).astype(np.int32)
             token = jnp.zeros((trash_row + 1, 0), jnp.uint32)
             dev = (
-                jnp.asarray(hm),
-                jnp.asarray(om),
+                h2d(hm),  # fat-tape header maps reach >100MB — must chunk
+                h2d(om),
                 jnp.asarray(g.frame_bases.astype(np.int32)),
                 jnp.asarray((g.gid_bases >> 32).astype(np.uint32)),
                 jnp.asarray((g.gid_bases & 0xFFFFFFFF).astype(np.uint32)),
@@ -1293,7 +1348,7 @@ class GroupExecutor:
         key = ("gcopy", id(g))
         dev = self._dev.get(key)
         if dev is None:
-            dev = (jnp.asarray(g.src), jnp.asarray(g.dst))
+            dev = (h2d(g.src), h2d(g.dst))
             self._dev[key] = dev
         return dev
 
@@ -1327,11 +1382,7 @@ class GroupExecutor:
 
         plan = self.plan
         batched = self.batch
-        shape = (batched, self.arena_size) if batched else (self.arena_size,)
-        arena = np.zeros(shape, dtype=np.uint8)
-        arena[..., 1] = 1
-        arena[..., plan.input_abs] = input_bits
-        arena = jnp.asarray(arena)
+        arena = self._build_bits(input_bits)
         prog = self._progress("executed")
         for gi, g in enumerate(plan.steps):
             if isinstance(g, GroupStep):
@@ -1354,12 +1405,7 @@ class GroupExecutor:
 
         plan = self.plan
         batched = self.batch
-        shape = (batched, self.arena_size, 4) if batched else (self.arena_size, 4)
-        arena = np.zeros(shape, dtype=np.uint32)
-        arena[..., 0, :] = false_label0
-        arena[..., 1, :] = true_label0
-        arena[..., plan.input_abs, :] = input_label0s
-        arena = self._shard(arena)
+        arena = self._build_arena(false_label0, true_label0, input_label0s)
         delta = self._shard(np.asarray(delta, dtype=np.uint32))
         digest = self._shard(np.zeros((batched, 4) if batched else (4,), np.uint32))
         # Handler-less committed garbling uses the cts-free program variant:
@@ -1417,17 +1463,8 @@ class GroupExecutor:
 
         plan = self.plan
         batched = self.batch
-        lshape = (batched, self.arena_size, 4) if batched else (self.arena_size, 4)
-        bshape = (batched, self.arena_size) if batched else (self.arena_size,)
-        arena = np.zeros(lshape, dtype=np.uint32)
-        bits = np.zeros(bshape, dtype=np.uint8)
-        arena[..., 0, :] = false_active
-        arena[..., 1, :] = true_active
-        bits[..., 1] = 1
-        arena[..., plan.input_abs, :] = input_labels
-        bits[..., plan.input_abs] = input_bits
-        arena = self._shard(arena)
-        bits = self._shard(bits)
+        arena = self._build_arena(false_active, true_active, input_labels)
+        bits = self._build_bits(input_bits)
         digest = self._shard(np.zeros((batched, 4) if batched else (4,), np.uint32))
         prog = self._progress("evaluated")
         gate = self._InflightGate()
@@ -1485,23 +1522,10 @@ class GroupExecutor:
         if eval_true_active is None:
             eval_true_active = np.asarray(true_label0, np.uint32) ^ d
 
-        lshape = (batched, self.arena_size, 4) if batched else (self.arena_size, 4)
-        bshape = (batched, self.arena_size) if batched else (self.arena_size,)
-        arena_g = np.zeros(lshape, dtype=np.uint32)
-        arena_g[..., 0, :] = false_label0
-        arena_g[..., 1, :] = true_label0
-        arena_g[..., plan.input_abs, :] = l0
-        arena_e = np.zeros(lshape, dtype=np.uint32)
-        arena_e[..., 0, :] = eval_false_active
-        arena_e[..., 1, :] = eval_true_active
-        arena_e[..., plan.input_abs, :] = np.asarray(eval_active, np.uint32)
-        bits_e = np.zeros(bshape, dtype=np.uint8)
-        bits_e[..., 1] = 1
-        bits_e[..., plan.input_abs] = ib
-
-        arena_g = self._shard(arena_g)
-        arena_e = self._shard(arena_e)
-        bits_e = self._shard(bits_e)
+        arena_g = self._build_arena(false_label0, true_label0, l0)
+        arena_e = self._build_arena(eval_false_active, eval_true_active,
+                                    np.asarray(eval_active, np.uint32))
+        bits_e = self._build_bits(ib)
         delta_dev = self._shard(d)
         dig_g = self._shard(np.zeros((batched, 4) if batched else (4,), np.uint32))
         dig_e = self._shard(np.zeros((batched, 4) if batched else (4,), np.uint32))
@@ -1581,7 +1605,7 @@ class PlanExecutor:
         dev = self._fns.get(key)
         if dev is None:
             segs_np, oo_np, meta = padded_seg_args(tape)
-            segs = [{f: jnp.asarray(v) for f, v in d.items()} for d in segs_np]
+            segs = [{f: h2d(v) for f, v in d.items()} for d in segs_np]
             token = jnp.zeros((max(meta["ctb"], 0) + 1, 0), jnp.uint32)
             dev = (segs, jnp.asarray(oo_np), token, meta)
             self._fns[key] = dev

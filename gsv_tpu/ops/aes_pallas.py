@@ -39,6 +39,73 @@ from gsv_tpu.ops.aes_jax import (
 
 LANE_TILE = 512  # lanes per grid step; 512 * 32 blocks = 16,384 blocks/tile
 
+# ------------------------------------------------------------------
+# Row-register bit transpose for the fused words kernel.  The XLA-side
+# pack/unpack (bits.transpose32 on a (..., 32) minor axis) costs ~2/3 of
+# the words-path wall (r3 probe: planes kernel 1.28 B blocks/s vs words
+# 0.43).  Inside the kernel the same Hacker's Delight masked-swap runs on
+# 32 SUBLANE rows of (m,) lanes — static row slices + elementwise ops,
+# the shapes Mosaic is fastest at.  ~80 u32 ops/block for pack+unpack
+# vs the rounds' ~855.
+# ------------------------------------------------------------------
+
+_T32_STAGES = (
+    (16, 0x0000FFFF),
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _t32_rows(rows, xp):
+    """Hacker's Delight 32x32 bit transpose over 32 row vectors.
+
+    Plain orientation (an involution), same as ``bits.transpose32``:
+    bit i of out[t] == bit t of rows[i].
+    """
+    A = list(rows)
+    for j, m in _T32_STAGES:
+        mask = xp.uint32(m)
+        sj = xp.uint32(j)
+        k = 0
+        while k < 32:
+            t = ((A[k] >> sj) ^ A[k + j]) & mask
+            A[k + j] = A[k + j] ^ t
+            A[k] = A[k] ^ (t << sj)
+            k = (k + j + 1) & ~j
+        # HD's running-mask update m ^= m << j is folded into the table
+    return A
+
+
+def pack_planes_rows(wt, xp):
+    """(4, 32, m) word-transposed blocks -> (8, 16, m) bit planes.
+
+    ``wt[j, i, g] = blocks[g*32 + i, j]`` (see aes_encrypt_words_fused).
+    Bit-identical to ``aes_jax.pack_planes`` (pinned in tests)."""
+    flat = [None] * 128  # index j*32 + t, as in aes_jax._PLANE_FROM_WORDBIT
+    for j in range(4):
+        out = _t32_rows([wt[j, i] for i in range(32)], xp)
+        for t in range(32):
+            flat[j * 32 + t] = out[t]
+    from gsv_tpu.ops.aes_jax import _PLANE_FROM_WORDBIT
+
+    sel = [flat[idx] for idx in _PLANE_FROM_WORDBIT.reshape(-1)]
+    return xp.stack(sel, axis=0).reshape(8, 16, wt.shape[-1])
+
+
+def unpack_planes_rows(planes, xp):
+    """(8, 16, m) bit planes -> (4, 32, m) word-transposed blocks."""
+    from gsv_tpu.ops.aes_jax import _WORDBIT_FROM_PLANE
+
+    p128 = planes.reshape(128, planes.shape[-1])
+    flat = [p128[idx] for idx in _WORDBIT_FROM_PLANE]  # index j*32 + t
+    out = []
+    for j in range(4):
+        w = _t32_rows([flat[j * 32 + t] for t in range(32)], xp)
+        out.append(xp.stack(w, axis=0))
+    return xp.stack(out, axis=0)
+
 
 def _lane_tile(m: int) -> int:
     """Static per-shape tile: full 512-lane tiles when the batch fills them,
@@ -116,6 +183,66 @@ def aes_encrypt_words_pallas(blocks, interpret=False):
     return unpack_planes(out, xp=jnp)
 
 
+def _aes_words_tile_kernel(wt_ref, rk_ref, out_ref):
+    """Fused kernel: in-VMEM pack -> 10 rounds -> unpack.
+
+    Tile layout (4, 32, mtile): word j, block-in-group i, group g — the
+    bit transposes run as 32 sublane-row register ops, so the only HBM
+    traffic is one read + one write of the 16 bytes/block."""
+    wt = wt_ref[...]
+    rk = rk_ref[...]
+    s = pack_planes_rows(wt, jnp)
+    s = s ^ rk[0][:, :, None]
+    for rnd in range(1, 10):
+        s = _sub_bytes(s, jnp)
+        s = _shift_rows(s)
+        s = _mix_columns(s, jnp)
+        s = s ^ rk[rnd][:, :, None]
+    s = _sub_bytes(s, jnp)
+    s = _shift_rows(s)
+    s = s ^ rk[10][:, :, None]
+    out_ref[...] = unpack_planes_rows(s, jnp)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _aes_wt_pallas(wt, interpret=False):
+    """(4, 32, m) word-transposed blocks -> same, encrypted (fused kernel)."""
+    from jax.experimental import pallas as pl
+
+    m = wt.shape[-1]
+    tile = _lane_tile(m)
+    assert m % tile == 0, (m, tile)
+    spec = pl.BlockSpec((4, 32, tile), lambda i: (0, 0, i))
+    rk_spec = pl.BlockSpec((11, 8, 16), lambda i: (0, 0, 0))
+    return pl.pallas_call(
+        _aes_words_tile_kernel,
+        grid=(m // tile,),
+        in_specs=[spec, rk_spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(wt.shape, jnp.uint32),
+        interpret=interpret,
+    )(wt, jnp.asarray(_RK_MASKS))
+
+
+def aes_encrypt_words_fused(blocks, interpret=False):
+    """Fixed-key AES-128 ECB over (n, 4) word blocks, pack/rounds/unpack all
+    inside one Pallas kernel.  The only XLA-side work is the layout
+    transpose to (4, 32, m) and back (bandwidth-bound, ~7% of the kernel's
+    bytes)."""
+    n = blocks.shape[0]
+    if n % 32 != 0:
+        raise ValueError("block count must be a multiple of 32 (pad first)")
+    m = n // 32
+    wt = blocks.reshape(m, 32, 4).transpose(2, 1, 0)
+    pad = (-m) % _lane_tile(m)
+    if pad:
+        wt = jnp.pad(wt, ((0, 0), (0, 0), (0, pad)))
+    out = _aes_wt_pallas(wt, interpret=interpret)
+    if pad:
+        out = out[..., :m]
+    return out.transpose(2, 1, 0).reshape(n, 4)
+
+
 # ------------------------------------------------------------------
 # Batch-aware form: under jax.vmap (the group programs are vmapped over
 # the instance batch), a plain pallas kernel would get a leading grid
@@ -131,16 +258,16 @@ def _make_words_cv(interpret: bool):
 
     @custom_batching.custom_vmap
     def words(blocks):
-        return aes_encrypt_words_pallas(blocks, interpret=interpret)
+        return aes_encrypt_words_fused(blocks, interpret=interpret)
 
     @words.def_vmap
     def _rule(axis_size, in_batched, blocks):  # noqa: ARG001
         (bb,) = in_batched
         if not bb:
-            return aes_encrypt_words_pallas(blocks, interpret=interpret), False
+            return aes_encrypt_words_fused(blocks, interpret=interpret), False
         B, n, w = blocks.shape
-        out = aes_encrypt_words_pallas(blocks.reshape(B * n, w),
-                                       interpret=interpret)
+        out = aes_encrypt_words_fused(blocks.reshape(B * n, w),
+                                      interpret=interpret)
         return out.reshape(B, n, w), True
 
     return words

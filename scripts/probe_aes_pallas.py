@@ -34,6 +34,7 @@ def main():
     from gsv_tpu.ops.aes_jax import (aes_encrypt_planes, aes_encrypt_words,
                                      pack_planes)
     from gsv_tpu.ops.aes_pallas import (aes_encrypt_planes_pallas,
+                                        aes_encrypt_words_fused,
                                         aes_encrypt_words_pallas)
 
     print("devices:", jax.devices(), flush=True)
@@ -41,6 +42,7 @@ def main():
     variants = {
         "words_xla": lambda v: aes_encrypt_words(v, xp=jnp),
         "words_pallas": lambda v: aes_encrypt_words_pallas(v),
+        "words_fused": lambda v: aes_encrypt_words_fused(v),
         "planes_xla": lambda v: aes_encrypt_planes(v, xp=jnp),
         "planes_pallas": lambda v: aes_encrypt_planes_pallas(v),
     }
