@@ -36,12 +36,25 @@ def bench_full(B: int, hasher: str = "aes") -> dict:
     from gsv_tpu.core.labels import words_from_int, words_from_int_array
     from gsv_tpu.core.rng import GarblerRng
 
+    t_start = time.perf_counter()
+    # every pass prints its own labeled JSON result line: the driver parses
+    # the LAST JSON line, so even a timeout kill records the best honest
+    # number measured so far (r3 lesson: a warm+timed run with one final
+    # print left BENCH_r03.json empty after the driver's rc=124)
+    deadline = float(os.environ.get("GSV_BENCH_DEADLINE", "1500"))
+    metric = ("full_groth16_garble_gates_per_sec"
+              + ("" if hasher == "aes" else f"_{hasher}"))
+
     with open(GPLAN, "rb") as fh:
         gplan = pickle.load(fh)
 
     batch = B if B > 1 else None
+    nb = max(B, 1)
     ex = GroupExecutor(gplan, batch=batch, hasher=hasher)
-    rngs = [GarblerRng(1 + i) for i in range(max(B, 1))]
+    pre = ex.preload_constants()
+    print(f"[bench] constants preloaded in {pre:.0f}s", file=sys.stderr,
+          flush=True)
+    rngs = [GarblerRng(1 + i) for i in range(nb)]
     in_l0 = np.stack(
         [words_from_int_array([r.issue_label0() for r in rngs])
          for _ in range(gplan.n_inputs)],
@@ -52,26 +65,46 @@ def bench_full(B: int, hasher: str = "aes") -> dict:
     t0s = words_from_int_array([r.true_label0 for r in rngs])
     if batch is None:
         in_l0, delta, f0, t0s = in_l0[0], delta[0], f0[0], t0s[0]
+    total = gplan.total_gates * nb
+
+    def emit(rate: float, note: str) -> dict:
+        res = {
+            "metric": metric,
+            "value": round(rate),
+            "unit": "gates/s",
+            "vs_baseline": round(rate / BASELINE, 3),
+            "note": note,
+        }
+        print(json.dumps(res), flush=True)
+        return res
 
     def run_once(tag):
         t = time.perf_counter()
-        _, _, digest = ex.garble(in_l0, delta, f0, t0s, ct_handler=None, commit=True)
+
+        def ckpt(gates_done):
+            el = time.perf_counter() - t
+            emit(gates_done * nb / el,
+                 f"partial {tag} pass ({gates_done * nb / 1e9:.1f}B of "
+                 f"{total / 1e9:.1f}B gates, {el:.0f}s, honest D2H sync)")
+
+        _, _, digest = ex.garble(in_l0, delta, f0, t0s, ct_handler=None,
+                                 commit=True, checkpoint_gates=2_000_000_000,
+                                 checkpoint_fn=ckpt)
         assert digest is not None
         dt = time.perf_counter() - t
         print(f"[bench] {tag} pass: {dt:.0f}s wall (honest D2H-synced)",
               file=sys.stderr, flush=True)
-        return dt
+        return dt, emit(total / dt, f"{tag} pass, {dt:.0f}s, B={nb}, "
+                        "honest D2H-synced")
 
-    run_once("warm")  # uploads + compile-cache hits, drained by the fetch
-    dt = run_once("timed")
-    rate = gplan.total_gates * max(B, 1) / dt
-    return {
-        "metric": "full_groth16_garble_gates_per_sec"
-        + ("" if hasher == "aes" else f"_{hasher}"),
-        "value": round(rate),
-        "unit": "gates/s",
-        "vs_baseline": round(rate / BASELINE, 3),
-    }
+    # first pass: compile-cache program loads still interleave with compute
+    dt1, res = run_once("first")
+    if deadline and time.perf_counter() - t_start + 1.1 * dt1 > deadline:
+        print(f"[bench] skipping resident pass (deadline {deadline:.0f}s)",
+              file=sys.stderr, flush=True)
+        return res
+    _, res = run_once("resident")
+    return res
 
 
 def bench_fq12(B: int, hasher: str = "aes") -> dict:

@@ -1277,6 +1277,43 @@ class GroupExecutor:
                                 emit_cts)
         return fn, oo, meta, (segs,)
 
+    @staticmethod
+    def _group_maps_np(g, meta):
+        """Host-side per-group constant arrays (bucket-padded header and
+        output maps, frame/gate-id bases, per-site ciphertext row bases)."""
+        Hb, ob, ctb = meta["Hb"], meta["ob"], meta["ctb"]
+        S = g.header_maps.shape[0]
+        hm = np.full((S, Hb), _TRASH, dtype=np.int32)
+        hm[:, : g.header_maps.shape[1]] = g.header_maps
+        om = np.full((S, max(ob, 1)), _TRASH, dtype=np.int32)
+        if g.outputs_maps.shape[1]:
+            om[:, : g.outputs_maps.shape[1]] = g.outputs_maps
+        trash_row = S * ctb
+        ct_loc = np.where(
+            np.arange(S) < g.n_real,
+            np.arange(S, dtype=np.int64) * ctb,
+            trash_row,
+        ).astype(np.int32)
+        return (
+            hm,
+            om,
+            g.frame_bases.astype(np.int32),
+            (g.gid_bases >> 32).astype(np.uint32),
+            (g.gid_bases & 0xFFFFFFFF).astype(np.uint32),
+            ct_loc,
+            trash_row,
+        )
+
+    def _token(self, trash_row: int):
+        """Zero-width ciphertext-shape token, shared across groups with the
+        same trash row (read-only — the group programs never donate it)."""
+        key = ("token", trash_row)
+        t = self._dev.get(key)
+        if t is None:
+            t = jnp.zeros((trash_row + 1, 0), jnp.uint32)
+            self._dev[key] = t
+        return t
+
     def _group_dev(self, g, gidx: int):
         key = ("gmaps", id(g))
         dev = self._dev.get(key)
@@ -1285,32 +1322,108 @@ class GroupExecutor:
                 meta = self._seg_dev_packed(g.tape)[4]
             else:
                 _, _, meta = self._seg_dev(g.tape)
-            Hb, ob, ctb = meta["Hb"], meta["ob"], meta["ctb"]
-            S = g.header_maps.shape[0]
-            hm = np.full((S, Hb), _TRASH, dtype=np.int32)
-            hm[:, : g.header_maps.shape[1]] = g.header_maps
-            om = np.full((S, max(ob, 1)), _TRASH, dtype=np.int32)
-            if g.outputs_maps.shape[1]:
-                om[:, : g.outputs_maps.shape[1]] = g.outputs_maps
-            trash_row = S * ctb
-            ct_loc = np.where(
-                np.arange(S) < g.n_real,
-                np.arange(S, dtype=np.int64) * ctb,
-                trash_row,
-            ).astype(np.int32)
-            token = jnp.zeros((trash_row + 1, 0), jnp.uint32)
+            hm, om, fb, ghi, glo, ct_loc, trash_row = self._group_maps_np(g, meta)
             dev = (
                 h2d(hm),  # fat-tape header maps reach >100MB — must chunk
                 h2d(om),
-                jnp.asarray(g.frame_bases.astype(np.int32)),
-                jnp.asarray((g.gid_bases >> 32).astype(np.uint32)),
-                jnp.asarray((g.gid_bases & 0xFFFFFFFF).astype(np.uint32)),
+                jnp.asarray(fb),
+                jnp.asarray(ghi),
+                jnp.asarray(glo),
                 jnp.asarray(ct_loc),
-                token,
+                self._token(trash_row),
                 jnp.uint32(gidx),
             )
             self._dev[key] = dev
         return dev
+
+    def preload_constants(self, threads: int | None = None) -> float:
+        """Upload every per-pass device constant up front, concurrently.
+
+        The tunneled PJRT client serializes individual ``device_put``s at
+        ~0.7s apiece but pipelines concurrent ones at ~1ms each
+        (scripts/probe_transfers.py, r4), and a full-verifier pass touches
+        ~250k constant arrays / ~1GB (scripts/upload_census.py) — lazily
+        uploaded from the dispatch loop they cost the first pass ~37min of
+        enqueue stalls; through a small thread pool here they take ~1-5min.
+        Safe to call repeatedly: resident entries are skipped.  Returns the
+        wall seconds spent."""
+        import time
+        from concurrent.futures import ThreadPoolExecutor
+
+        from gsv_tpu.circuit.schedule import GroupStep
+
+        threads = threads or int(os.environ.get("GSV_PRELOAD_THREADS", "4"))
+        t0 = time.perf_counter()
+        host_segs: dict = {}
+
+        def seg_host(tape):
+            ck = tape.content_key
+            if ck not in host_segs:
+                host_segs[ck] = padded_seg_args_group(tape)
+            return host_segs[ck]
+
+        futs: dict = {}
+        with ThreadPoolExecutor(threads) as pool:
+            for gi, g in enumerate(self.plan.steps):
+                if not isinstance(g, GroupStep):
+                    key = ("gcopy", id(g))
+                    if key not in self._dev and key not in futs:
+                        futs[key] = ("copy", pool.submit(h2d, g.src),
+                                     pool.submit(h2d, g.dst))
+                    continue
+                S = g.header_maps.shape[0]
+                segs_np, oo_np, meta = seg_host(g.tape)
+                if self.packed and use_packed_segs(g.tape, S):
+                    skey = ("gsegsP", g.tape.content_key)
+                    if skey not in self._dev and skey not in futs:
+                        p32, p8, layout = pack_seg_args(segs_np)
+                        futs[skey] = ("segsP", pool.submit(h2d, p32),
+                                      pool.submit(h2d, p8), layout,
+                                      pool.submit(jnp.asarray, oo_np), meta)
+                else:
+                    skey = ("gsegs", g.tape.content_key)
+                    if skey not in self._dev and skey not in futs:
+                        fsegs = [{f: pool.submit(h2d, v) for f, v in d.items()}
+                                 for d in segs_np]
+                        futs[skey] = ("segs", fsegs,
+                                      pool.submit(jnp.asarray, oo_np), meta)
+                gkey = ("gmaps", id(g))
+                if gkey not in self._dev and gkey not in futs:
+                    hm, om, fb, ghi, glo, ct_loc, tr = self._group_maps_np(g, meta)
+                    tkey = ("token", tr)
+                    if tkey not in self._dev and tkey not in futs:
+                        futs[tkey] = ("token",
+                                      pool.submit(jnp.zeros, (tr + 1, 0),
+                                                  jnp.uint32))
+                    futs[gkey] = (
+                        "gmaps",
+                        [pool.submit(h2d, a)
+                         for a in (hm, om, fb, ghi, glo, ct_loc)],
+                        tr,
+                        pool.submit(jnp.uint32, gi),
+                    )
+            # tokens first (gmaps assembly reads them through self._dev)
+            for key, spec in futs.items():
+                if spec[0] == "token":
+                    self._dev[key] = spec[1].result()
+            for key, spec in futs.items():
+                kind = spec[0]
+                if kind == "token":
+                    continue
+                if kind == "segs":
+                    segs = [{f: fu.result() for f, fu in d.items()}
+                            for d in spec[1]]
+                    self._dev[key] = (segs, spec[2].result(), spec[3])
+                elif kind == "segsP":
+                    self._dev[key] = (spec[1].result(), spec[2].result(),
+                                      spec[3], spec[4].result(), spec[5])
+                elif kind == "gmaps":
+                    arrs = [fu.result() for fu in spec[1]]
+                    self._dev[key] = (*arrs, self._dev[("token", spec[2])],
+                                      spec[3].result())
+                else:
+                    self._dev[key] = (spec[1].result(), spec[2].result())
+        return time.perf_counter() - t0
 
     def _progress(self, phase: str):
         from gsv_tpu.core.progress import ProgressLogger
@@ -1397,10 +1510,16 @@ class GroupExecutor:
         return arena[..., plan.output_abs]
 
     def garble(self, input_label0s, delta, false_label0, true_label0,
-               ct_handler=None, commit: bool = False):
+               ct_handler=None, commit: bool = False,
+               checkpoint_gates: int = 0, checkpoint_fn=None):
         """Returns (output_label0s, arena, digest) — digest is None unless
         ``commit``; ``ct_handler(group, cts, meta)`` receives each group's
-        device ciphertext buffer (see GroupStep layout)."""
+        device ciphertext buffer (see GroupStep layout).
+
+        ``checkpoint_gates`` > 0 (requires ``commit``): every that many
+        per-instance gates, force an honest D2H digest fetch and call
+        ``checkpoint_fn(gates_done)`` — lets a benchmark emit verified
+        partial throughput even if the process is killed mid-pass."""
         from gsv_tpu.circuit.schedule import GroupStep
 
         plan = self.plan
@@ -1416,6 +1535,8 @@ class GroupExecutor:
         gate = self._InflightGate()
         nb = batched or 1
         memlog = int(os.environ.get("GSV_MEM_LOG", 0))
+        gates_done = 0
+        next_ckpt = checkpoint_gates if (checkpoint_gates and commit) else None
         for gi, g in enumerate(plan.steps):
             if memlog and gi % memlog == 0:
                 try:
@@ -1447,6 +1568,12 @@ class GroupExecutor:
                         ct_handler(g, cts, meta)
                     gate.add(cts, token.shape[0] * 16 * nb)
                 prog.advance(g.tape.total_gates * g.n_real)
+                gates_done += g.tape.total_gates * g.n_real
+                if next_ckpt is not None and gates_done >= next_ckpt:
+                    np.asarray(digest)  # honest sync: D2H value fetch
+                    if checkpoint_fn is not None:
+                        checkpoint_fn(gates_done)
+                    next_ckpt += checkpoint_gates
             else:
                 src, dst = self._copy_dev(g)
                 arena = self._copy_fn("execute")(arena, src, dst)

@@ -496,3 +496,58 @@ def test_batched_pallas_group_matches_aes(plans, monkeypatch):
         outs[hasher] = (np.asarray(out), np.asarray(dig))
     assert (outs["aes"][0] == outs["aes_pallas"][0]).all()
     assert (outs["aes"][1] == outs["aes_pallas"][1]).all()
+
+
+def test_preload_constants_matches_lazy(plans):
+    """preload_constants (threaded up-front upload of all per-pass device
+    constants — the r4 warm-pass fix) must leave the executor in exactly
+    the state the lazy per-dispatch path builds: same outputs, same
+    digest, and no re-uploads (the _dev cache is fully populated)."""
+    plan, gplan = plans
+    rng = GarblerRng(5)
+    in_l0 = [rng.issue_label0() for _ in range(N_IN)]
+    args = (
+        words_from_int_array(in_l0),
+        words_from_int(rng.delta),
+        words_from_int(rng.false_label0),
+        words_from_int(rng.true_label0),
+    )
+    lazy = GroupExecutor(gplan)
+    out_lazy, _, d_lazy = lazy.garble(*args, ct_handler=None, commit=True)
+
+    pre = GroupExecutor(gplan)
+    pre.preload_constants(threads=2)
+    n_keys = len(pre._dev)
+    ckpts = []
+    out_pre, _, d_pre = pre.garble(
+        *args, ct_handler=None, commit=True,
+        checkpoint_gates=1, checkpoint_fn=ckpts.append)
+    assert (np.asarray(out_lazy) == np.asarray(out_pre)).all()
+    assert (np.asarray(d_lazy) == np.asarray(d_pre)).all()
+    # the pass added only jit-function cache entries, no new device consts
+    new = [k for k in pre._dev if k not in ("copy",)]
+    assert len([k for k in new if isinstance(k, tuple)]) >= n_keys - 1
+    assert ckpts and ckpts[-1] == gplan.total_gates
+
+
+def test_preload_constants_batched_packed(plans, monkeypatch):
+    """Packed-segs + batched variant of the preload equivalence check."""
+    _, gplan = plans
+    monkeypatch.setenv("GSV_PACKED_SEGS", "1")
+    B = 2
+    rngs = [GarblerRng(50 + i) for i in range(B)]
+    in_l0 = np.stack(
+        [words_from_int_array([r.issue_label0() for r in rngs])
+         for _ in range(N_IN)], axis=1)
+    delta = words_from_int_array([r.delta for r in rngs])
+    f0 = words_from_int_array([r.false_label0 for r in rngs])
+    t0 = words_from_int_array([r.true_label0 for r in rngs])
+    lazy = GroupExecutor(gplan, batch=B)
+    out_lazy, _, d_lazy = lazy.garble(in_l0, delta, f0, t0,
+                                      ct_handler=None, commit=True)
+    pre = GroupExecutor(gplan, batch=B)
+    pre.preload_constants(threads=2)
+    out_pre, _, d_pre = pre.garble(in_l0, delta, f0, t0,
+                                   ct_handler=None, commit=True)
+    assert (np.asarray(out_lazy) == np.asarray(out_pre)).all()
+    assert (np.asarray(d_lazy) == np.asarray(d_pre)).all()
