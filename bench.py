@@ -25,7 +25,7 @@ import time
 
 import numpy as np
 
-GPLAN = ".gplan_k6_uniform_1048576.pkl"
+GPLAN = os.environ.get("GSV_GPLAN", ".gplan_k6_uniform_1048576.pkl")
 BASELINE = 249e6  # reference 16-instance / 8-core aggregate
 
 
@@ -212,7 +212,10 @@ def main() -> None:
         os.environ.setdefault("GSV_PACKED_SEGS", "1")
     # default to the fastest hasher whose program fill has landed (the
     # driver invokes bench.py with no flags)
-    hasher = "aes_pallas" if os.path.exists(".bench_full_ready_pallas") else "aes"
+    hasher = "aes"
+    for cand in ("aes_pallas", "aes_pallas2"):
+        if os.path.exists(f".bench_full_ready_{cand.replace('aes_', '')}"):
+            hasher = cand
     for a in sys.argv[1:]:
         if a.startswith("--hasher="):
             hasher = a.split("=", 1)[1]
@@ -228,7 +231,7 @@ def main() -> None:
     )
     want_full = (
         "--fq12" not in sys.argv
-        and hasher in ("aes", "aes_pallas")
+        and hasher in ("aes", "aes_pallas", "aes_pallas2")
         and os.path.exists(GPLAN)
         and (os.path.exists(sentinel) or "--full" in sys.argv)
     )

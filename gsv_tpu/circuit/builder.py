@@ -87,13 +87,20 @@ class Template:
 class TemplateCache:
     """Maps component keys to traced templates.
 
-    Reference parity: ``ComponentTemplatePool`` (LRU of 5000).  Python dicts
-    make the LRU cap unnecessary; distinct component shapes in the Groth16
-    circuit number in the hundreds.
+    Reference parity: ``ComponentTemplatePool`` (component_template_pool.rs:10,
+    LRU capped at 5,000).  Distinct component shapes in the Groth16 circuit
+    number in the hundreds, so the cap never binds there — but an unbounded
+    memo is a footgun for adversarial circuits that generate unbounded
+    distinct keys, so the same cap applies (evicting least-recently-used;
+    override with max_entries=None for an unbounded pool).
     """
 
-    def __init__(self, uniform_constants: bool = False):
-        self.templates: dict[Any, Template] = {}
+    def __init__(self, uniform_constants: bool = False,
+                 max_entries: int | None = 5000):
+        from collections import OrderedDict
+
+        self.templates: OrderedDict[Any, Template] = OrderedDict()
+        self.max_entries = max_entries
         self.hits = 0
         self.misses = 0
         # trace-wide config: constant-mul gadgets emit constant-independent
@@ -106,11 +113,15 @@ class TemplateCache:
         t = self.templates.get(key)
         if t is not None:
             self.hits += 1
+            self.templates.move_to_end(key)
         return t
 
     def put(self, key, template: Template):
         self.misses += 1
         self.templates[key] = template
+        self.templates.move_to_end(key)
+        if self.max_entries is not None and len(self.templates) > self.max_entries:
+            self.templates.popitem(last=False)
 
 
 class TraceCtx:

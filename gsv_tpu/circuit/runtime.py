@@ -65,7 +65,7 @@ def _pallas_hasher_tag(hasher, batch) -> str:
     """Executor hasher -> internal tag with the per-batch effective gate."""
     if not _is_pallas(hasher) or ":" in hasher:
         return hasher
-    return f"aes_pallas:{max(32, _PALLAS_MIN_BLOCKS // max(batch or 1, 1))}"
+    return f"{hasher}:{max(32, _PALLAS_MIN_BLOCKS // max(batch or 1, 1))}"
 
 
 def _aes_blocks(blocks, hasher):
@@ -76,8 +76,9 @@ def _aes_blocks(blocks, hasher):
             from gsv_tpu.core.hw import tpu_available
             from gsv_tpu.ops.aes_pallas import aes_encrypt_words_pallas_batched
 
+            ver = 2 if hasher.startswith("aes_pallas2") else 1
             return aes_encrypt_words_pallas_batched(
-                blocks, interpret=not tpu_available())
+                blocks, interpret=not tpu_available(), version=ver)
     return aes_encrypt_words(blocks, xp=jnp)
 
 
@@ -1178,7 +1179,7 @@ class GroupExecutor:
         two plans (e.g. the uniform and compressed verifiers) at one shared
         arena size lets them reuse each other's compiled group programs for
         every (tape signature, S-bucket) they have in common."""
-        assert hasher in ("aes", "aes_pallas", "blake3")
+        assert hasher in ("aes", "aes_pallas", "aes_pallas2", "blake3")
         self.plan = gplan
         self.batch = batch
         self.hasher = hasher
@@ -1711,7 +1712,7 @@ class PlanExecutor:
         instance: int | None = None,
         hasher: str = "aes",
     ):
-        assert hasher in ("aes", "aes_pallas", "blake3")
+        assert hasher in ("aes", "aes_pallas", "aes_pallas2", "blake3")
         self.plan = plan
         self.batch = batch  # None = unbatched
         self.instance = instance

@@ -19,11 +19,11 @@ count.  This pass exploits the circuit's step-level parallelism:
    ciphertext bases into per-group arrays; sites get disjoint scratch
    frames in a reused scratch region at the top of the arena.
 
-For the 10.7B-gate verifier this cuts ~178k dispatches to ~37k and 207M
-sequential waves to ~42M (scripts/sim_greedy.py), which together with the
-~0.5us/wave measured executor floor makes full-circuit garbling at B>=32
-run in tens of seconds on one chip (vs ~5m50s/core for the reference,
-/root/reference/README.md:12).
+For the 10.7B-gate verifier this cuts ~178k dispatches to ~35-37k and 207M
+sequential waves to ~37-42M (scripts/sim_greedy.py), putting the
+dispatch-and-latency floor (~0.5us/wave, ~0.34ms/dispatch measured) well
+below the AES-compute time — the pass wall is then the padded AES-block
+census divided by the hasher rate (docs/perf-model.md).
 
 Group sizes are padded up to a bucket grid so group programs are shared
 across groups (the executor keys compilations on shapes only); padded
@@ -40,7 +40,10 @@ from dataclasses import dataclass
 
 import numpy as np
 
+import os
+
 from gsv_tpu.circuit.link import CopyStep, Plan, TapeStep, TRASH
+from gsv_tpu.circuit.tape import SEG_V3
 
 # Group-size buckets: coarse to keep the compiled-program count tiny; padded
 # sites are nearly free because narrow tapes are latency-bound per wave.
@@ -60,6 +63,66 @@ def _pick_bucket(n: int, grid) -> int:
         if n <= b:
             return b
     return n
+
+
+# ----------------------------------------------------------------------
+# Exact site chunking (on by default under SEG_V3; GSV_EXACT_SITES=0/1
+# overrides).  Site-bucket rounding costs 2.02B of the seg-v2 plan's 8.49B
+# AES lanes (scripts/census_breakdown.py, r4).  Any n_real decomposes
+# exactly into grid buckets (binary decomposition on the coarse grid), so
+# instead of padding the tail of a ready batch up to a bucket we can split
+# it into further chunks — trading padded-lane AES work for one extra
+# dispatch plus a replay of the tape's wave loop per extra chunk.  The
+# trade is resolved by an explicit cost model in AES-block units
+# (per instance, calibrated for B=32 / ~1 B blocks/s, r4 probes:
+# 0.34 ms pipelined dispatch ≈ 10.6k blocks; 0.55 us wave iteration ≈ 17).
+# No new program shapes are created: every chunk lands on an existing
+# grid bucket.
+# ----------------------------------------------------------------------
+
+_EXACT_SITES = os.environ.get("GSV_EXACT_SITES", "1" if SEG_V3 else "0") == "1"
+_SPLIT_DISPATCH_COST = float(os.environ.get("GSV_SPLIT_DISPATCH_COST", 10600.0))
+_SPLIT_WAVE_COST = float(os.environ.get("GSV_SPLIT_WAVE_COST", 17.0))
+
+
+def _site_cost_blocks(tape) -> int:
+    """AES blocks (per instance) one padded site costs: 2 hash blocks per
+    class lane plus 1 digest row per ciphertext."""
+    lanes = sum(sv.cn * sv.n_waves for sv in tape.segments)
+    return 2 * lanes + tape.ct_count
+
+
+def _chunk_sizes(n: int, cap: int, grid, tape, cost_cache: dict) -> list:
+    """Chunk lengths (real sites) for a ready batch of n sites.
+
+    Greedy largest-bucket-first; at each tail, padding up to the next
+    bucket is compared against the cost of one more chunk."""
+    if not _EXACT_SITES:
+        return [cap] * (n // cap) + ([n % cap] if n % cap else [])
+    ck = tape.content_key
+    costs = cost_cache.get(ck)
+    if costs is None:
+        extra = _SPLIT_DISPATCH_COST + tape.streams.n_waves * _SPLIT_WAVE_COST
+        costs = (_site_cost_blocks(tape), extra)
+        cost_cache[ck] = costs
+    site_cost, extra_chunk = costs
+    sizes = []
+    rem = n
+    while rem > cap:
+        sizes.append(cap)
+        rem -= cap
+    while rem:
+        b_up = _pick_bucket(rem, grid)
+        if b_up == rem:
+            sizes.append(rem)
+            break
+        if (b_up - rem) * site_cost <= extra_chunk:
+            sizes.append(rem)  # pad: the group constructor buckets it up
+            break
+        b_dn = _cap_to_bucket(rem, grid)
+        sizes.append(b_dn)
+        rem -= b_dn
+    return sizes
 
 
 def _cap_to_bucket(cap: int, grid) -> int:
@@ -174,6 +237,7 @@ def schedule_plan(
 
     order_groups: list = []
     done = 0
+    split_costs: dict = {}
     while done < n:
         best = max(ready.items(), key=lambda kv: len(kv[1]))[0]
         batch = ready.pop(best)
@@ -185,10 +249,13 @@ def schedule_plan(
             cap = max(1, scratch_budget // max(tape0.frame_size, 1))
             cap = min(cap, max(1, ct_budget_rows // max(tape0.ct_count, 1)))
             cap = _cap_to_bucket(cap, s_grid)
+            sizes = _chunk_sizes(len(batch), cap, s_grid, tape0, split_costs)
         else:
-            cap = len(batch)
-        for k in range(0, len(batch), cap):
-            order_groups.append((best, batch[k : k + cap]))
+            sizes = [len(batch)]
+        k = 0
+        for sz in sizes:
+            order_groups.append((best, batch[k : k + sz]))
+            k += sz
         done += len(batch)
         for i in batch:
             for j in succs[i]:

@@ -143,6 +143,25 @@ def _classes_v2(max_val: int = 1 << 20, ratio: float = 1.25) -> np.ndarray:
 
 _CLASSES_V2 = _classes_v2()
 
+
+def _classes_v3(max_val: int = 1 << 20, ratio: float = 1.125) -> np.ndarray:
+    """Exact classes 1..16 (narrow chain waves pay zero padding), then
+    4-lane multiples growing by ~1.125x (wide-wave padding bounded ~12.5%;
+    no 16/32 alignment need — group lanes are S*cn and the runtime pads
+    sub-32 AES batches in-program)."""
+    g = list(range(1, 17))
+    v = 16
+    while v < max_val:
+        # 64-lane quantum above 1024 keeps wide classes power-of-two
+        # chunkable for the per-wave lane budget (_chunk_factor)
+        q = 4 if v < 1024 else 64
+        v = max(v + q, ((int(v * ratio) + q - 1) // q) * q)
+        g.append(v)
+    return np.array(g, dtype=np.int64)
+
+
+_CLASSES_V3 = _classes_v3()
+
 # Segmentation v2 (opt-in: GSV_SEG_V2=1): fine width classes + cost-based
 # segment merging instead of the pow2 grid + max-window smoothing.  Round-1
 # census: the v1 scheme computes 14.7B AES lanes for 2.9B real ones (19.4%
@@ -152,6 +171,18 @@ _CLASSES_V2 = _classes_v2()
 # while a cache built under v1 is in use.
 SEG_V2 = os.environ.get("GSV_SEG_V2") == "1"
 
+# Segmentation v3 (opt-in: GSV_SEG_V3=1, supersedes V2): width classes all
+# the way down to 1 and a tighter growth ratio.  The 16-lane quantum existed
+# so the doubled AES batch stayed a multiple of 32, but group steps hash
+# S*cn lanes per wave and the runtime pads sub-32 batches in-program
+# (_pad32), so narrow chain waves — 2.37B of the seg-v2 plan's 8.49B lanes
+# are width<16 padding (scripts/census_breakdown.py, r4) — can run at their
+# true width.  Like V2 this changes every segment shape => own plan pickle
+# + compile fill.
+SEG_V3 = os.environ.get("GSV_SEG_V3") == "1"
+if SEG_V3:
+    SEG_V2 = True  # v3 keeps v2's cost-based merging
+
 # Cumulative padded-lane budget a merged segment may carry (calibrated on
 # the full-verifier plan: 1024 cuts computed AES lanes 13.1B -> 8.5B with
 # only 16% more segments and no program-count growth; 0 would reach 7.1B
@@ -160,9 +191,10 @@ _SEG_MERGE_LANES = 1024
 
 
 def _width_classes(widths: np.ndarray) -> np.ndarray:
-    """Smallest padded class per width (0 stays 0); multiples of 16 so the
-    doubled AES batch stays a multiple of 32."""
-    classes = _CLASSES_V2 if SEG_V2 else _CLASSES
+    """Smallest padded class per width (0 stays 0).  V1/V2 classes are
+    multiples of 16 so the doubled AES batch is 32-aligned at S=1; V3 drops
+    that (group lanes are S*cn and the runtime pads sub-32 batches)."""
+    classes = _CLASSES_V3 if SEG_V3 else _CLASSES_V2 if SEG_V2 else _CLASSES
     idx = np.searchsorted(classes, widths)
     out = classes[np.minimum(idx, len(classes) - 1)]
     return np.where(widths == 0, 0, out)

@@ -244,6 +244,90 @@ def aes_encrypt_words_fused(blocks, interpret=False):
 
 
 # ------------------------------------------------------------------
+# v2 fused kernel: NO XLA-side data movement at all.  The r3/r4 probes
+# show the (n,4)->(4,32,m) XLA transpose outside `aes_encrypt_words_fused`
+# costs ~2.4x (0.525 vs 1.283 B blocks/s for the transpose-free planes
+# kernel).  Here the host side only does a FREE row-major reshape
+# (n,4)->(m,128) (bitcast view: row g = 32 consecutive blocks, lane
+# q = 4*i + j for block-in-group i, word j) and the kernel transposes the
+# (tile,128) VMEM tile itself — a 32-bit 2D transpose Mosaic lowers on the
+# cross-lane unit — before the same register bit-butterflies and rounds.
+# ------------------------------------------------------------------
+
+
+def _aes_words2_tile_kernel(x_ref, rk_ref, out_ref):
+    x = x_ref[...]  # (tile, 128): [group g, 4*i + j]
+    rk = rk_ref[...]
+    xT = x.T  # (128, tile): row 4*i+j = word j of block i across groups
+    from gsv_tpu.ops.aes_jax import _PLANE_FROM_WORDBIT, _WORDBIT_FROM_PLANE
+
+    flat = [None] * 128  # index j*32 + t, as in aes_jax._PLANE_FROM_WORDBIT
+    for j in range(4):
+        outw = _t32_rows([xT[i * 4 + j] for i in range(32)], jnp)
+        for t in range(32):
+            flat[j * 32 + t] = outw[t]
+    sel = [flat[idx] for idx in _PLANE_FROM_WORDBIT.reshape(-1)]
+    s = jnp.stack(sel, axis=0).reshape(8, 16, x.shape[0])
+
+    s = s ^ rk[0][:, :, None]
+    for rnd in range(1, 10):
+        s = _sub_bytes(s, jnp)
+        s = _shift_rows(s)
+        s = _mix_columns(s, jnp)
+        s = s ^ rk[rnd][:, :, None]
+    s = _sub_bytes(s, jnp)
+    s = _shift_rows(s)
+    s = s ^ rk[10][:, :, None]
+
+    p128 = s.reshape(128, x.shape[0])
+    flat2 = [p128[idx] for idx in _WORDBIT_FROM_PLANE]  # index j*32 + t
+    rows = [None] * 128
+    for j in range(4):
+        w = _t32_rows([flat2[j * 32 + t] for t in range(32)], jnp)
+        for i in range(32):
+            rows[i * 4 + j] = w[i]
+    out_ref[...] = jnp.stack(rows, axis=0).T
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _aes_rows128_pallas(x, interpret=False):
+    """(m, 128) row-major block rows -> same, encrypted (fully fused)."""
+    from jax.experimental import pallas as pl
+
+    m = x.shape[0]
+    tile = _lane_tile(m)
+    assert m % tile == 0, (m, tile)
+    spec = pl.BlockSpec((tile, 128), lambda i: (i, 0))
+    rk_spec = pl.BlockSpec((11, 8, 16), lambda i: (0, 0, 0))
+    return pl.pallas_call(
+        _aes_words2_tile_kernel,
+        grid=(m // tile,),
+        in_specs=[spec, rk_spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
+        interpret=interpret,
+    )(x, jnp.asarray(_RK_MASKS))
+
+
+def aes_encrypt_words_fused2(blocks, interpret=False):
+    """Fixed-key AES-128 ECB over (n, 4) word blocks; pack/rounds/unpack AND
+    the block-layout transpose all inside one Pallas kernel.  The XLA side is
+    a free contiguous reshape (n, 4) -> (n//32, 128) plus lane-tile padding."""
+    n = blocks.shape[0]
+    if n % 32 != 0:
+        raise ValueError("block count must be a multiple of 32 (pad first)")
+    m = n // 32
+    x = blocks.reshape(m, 128)
+    pad = (-m) % _lane_tile(m)
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    out = _aes_rows128_pallas(x, interpret=interpret)
+    if pad:
+        out = out[:m]
+    return out.reshape(n, 4)
+
+
+# ------------------------------------------------------------------
 # Batch-aware form: under jax.vmap (the group programs are vmapped over
 # the instance batch), a plain pallas kernel would get a leading grid
 # axis and pad EVERY instance's lanes to a full tile — a medium wave of
@@ -253,30 +337,36 @@ def aes_encrypt_words_fused(blocks, interpret=False):
 # ------------------------------------------------------------------
 
 
-def _make_words_cv(interpret: bool):
+def _make_words_cv(interpret: bool, fused_fn):
     from jax import custom_batching
 
     @custom_batching.custom_vmap
     def words(blocks):
-        return aes_encrypt_words_fused(blocks, interpret=interpret)
+        return fused_fn(blocks, interpret=interpret)
 
     @words.def_vmap
     def _rule(axis_size, in_batched, blocks):  # noqa: ARG001
         (bb,) = in_batched
         if not bb:
-            return aes_encrypt_words_fused(blocks, interpret=interpret), False
+            return fused_fn(blocks, interpret=interpret), False
         B, n, w = blocks.shape
-        out = aes_encrypt_words_fused(blocks.reshape(B * n, w),
-                                      interpret=interpret)
+        out = fused_fn(blocks.reshape(B * n, w), interpret=interpret)
         return out.reshape(B, n, w), True
 
     return words
 
 
-_WORDS_CV = {False: _make_words_cv(False), True: _make_words_cv(True)}
+_WORDS_CV = {
+    (False, 1): _make_words_cv(False, aes_encrypt_words_fused),
+    (True, 1): _make_words_cv(True, aes_encrypt_words_fused),
+    (False, 2): _make_words_cv(False, aes_encrypt_words_fused2),
+    (True, 2): _make_words_cv(True, aes_encrypt_words_fused2),
+}
 
 
-def aes_encrypt_words_pallas_batched(blocks, interpret=False):
+def aes_encrypt_words_pallas_batched(blocks, interpret=False, version=1):
     """Drop-in for aes_encrypt_words_pallas that collapses a vmap batch
-    axis into the block axis (one wide kernel per wave, not B narrow ones)."""
-    return _WORDS_CV[bool(interpret)](blocks)
+    axis into the block axis (one wide kernel per wave, not B narrow ones).
+    ``version=2`` selects the fully fused kernel (in-kernel layout
+    transpose, the ``aes_pallas2`` executor hasher)."""
+    return _WORDS_CV[(bool(interpret), version)](blocks)

@@ -239,12 +239,56 @@ class Polynomial:
         return [G.mul(v) for v in self.values]
 
 
+def neg_pos_sum_of_powers_of_two(bits: list[bool]) -> list[int]:
+    """Minimal add/sub powers-of-two decomposition of a little-endian bit
+    vector (cac/utils.rs:2-28): each maximal run of 1-bits [l..i] collapses
+    to +2^(i+1) - 2^l.  Returns digits in {-1, 0, 1}, trailing zeros
+    stripped; sum(d_i * 2^i) equals the input value."""
+    n = len(bits)
+    res = [0] * (n + 1)
+    run_start = -1
+    for i in range(n):
+        if not bits[i]:
+            run_start = -1
+        elif i == n - 1 or not bits[i + 1]:
+            if run_start == -1:
+                res[i] = 1
+            else:
+                res[i + 1] = 1
+                res[run_start] = -1
+        elif run_start == -1:
+            run_start = i
+    while res and res[-1] == 0:
+        res.pop()
+    return res
+
+
+def _naf_mul(p: Point, k: int, table: list[Point] | None = None) -> Point:
+    """k*P via a doubling table and the ±2^i decomposition — the reference's
+    USE_TABLES scalar-mul in suffix evaluation (vsss.rs:160-195); runs of
+    1-bits cost 2 group ops instead of one add per bit."""
+    k %= SECP_N
+    bits = [(k >> i) & 1 == 1 for i in range(k.bit_length())]
+    digits = neg_pos_sum_of_powers_of_two(bits)
+    if table is None:
+        table = [p]
+        for _ in range(len(digits) - 1):
+            table.append(table[-1] + table[-1])
+    acc = Point(None, None)
+    for i, d in enumerate(digits):
+        if d == 1:
+            acc = acc + table[i]
+        elif d == -1:
+            acc = acc - table[i]
+    return acc
+
+
 def verify_share(x: int, share: int, commits: list[Point]) -> bool:
     """Check g^share == prod commit_i^{L_i(x)} (vsss.rs:242-287)."""
     coeffs = _lagrange_coeffs(list(range(len(commits))), x)
     acc = Point(None, None)
     for c, com in zip(coeffs, commits):
-        acc = acc + com.mul(c)
+        acc = acc + _naf_mul(com, c)
     return acc == G.mul(share)
 
 

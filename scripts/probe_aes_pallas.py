@@ -35,6 +35,7 @@ def main():
                                      pack_planes)
     from gsv_tpu.ops.aes_pallas import (aes_encrypt_planes_pallas,
                                         aes_encrypt_words_fused,
+                                        aes_encrypt_words_fused2,
                                         aes_encrypt_words_pallas)
 
     print("devices:", jax.devices(), flush=True)
@@ -43,6 +44,7 @@ def main():
         "words_xla": lambda v: aes_encrypt_words(v, xp=jnp),
         "words_pallas": lambda v: aes_encrypt_words_pallas(v),
         "words_fused": lambda v: aes_encrypt_words_fused(v),
+        "words_fused2": lambda v: aes_encrypt_words_fused2(v),
         "planes_xla": lambda v: aes_encrypt_planes(v, xp=jnp),
         "planes_pallas": lambda v: aes_encrypt_planes_pallas(v),
     }

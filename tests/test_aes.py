@@ -152,19 +152,37 @@ class TestU64Math:
             assert (int(hi[i]) << 32) | int(lo[i]) == want
 
 
-def test_pallas_aes_matches_host():
-    """Pallas kernel (interpret mode on CPU) == host OpenSSL AES."""
+def _assert_matches_host(fn, n=64, seed=7):
     import jax.numpy as jnp
 
     from gsv_tpu.ops.aes_host import Aes128
-    from gsv_tpu.ops.aes_pallas import aes_encrypt_words_pallas
 
-    rng = np.random.default_rng(7)
-    blocks = rng.integers(0, 2**32, size=(64, 4), dtype=np.uint32)
-    got = np.asarray(aes_encrypt_words_pallas(jnp.asarray(blocks), interpret=True))
+    rng = np.random.default_rng(seed)
+    blocks = rng.integers(0, 2**32, size=(n, 4), dtype=np.uint32)
+    got = np.asarray(fn(jnp.asarray(blocks)))
     aes = Aes128(bytes([0x42] * 16))
     for i in range(blocks.shape[0]):
         inp = b"".join(int(w).to_bytes(4, "big") for w in blocks[i])
         want = aes.encrypt_block(inp)
         have = b"".join(int(w).to_bytes(4, "big") for w in got[i])
         assert have == want, i
+
+
+def test_pallas_aes_matches_host():
+    """Pallas kernel (interpret mode on CPU) == host OpenSSL AES."""
+    from gsv_tpu.ops.aes_pallas import aes_encrypt_words_pallas
+
+    _assert_matches_host(lambda b: aes_encrypt_words_pallas(b, interpret=True))
+
+
+def test_pallas_aes_fused_variants_match_host():
+    """Both fused kernels (in-kernel bit transposes; v2 adds the in-kernel
+    layout transpose) == host OpenSSL AES, incl. a padded-lane shape."""
+    from gsv_tpu.ops.aes_pallas import (aes_encrypt_words_fused,
+                                        aes_encrypt_words_fused2)
+
+    for n in (64, 4128):  # 4128/32 = 129 groups: exercises lane-tile padding
+        _assert_matches_host(
+            lambda b: aes_encrypt_words_fused(b, interpret=True), n=n)
+        _assert_matches_host(
+            lambda b: aes_encrypt_words_fused2(b, interpret=True), n=n)

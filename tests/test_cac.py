@@ -150,3 +150,22 @@ class TestBlake3:
             want = (bits[0] and bits[1]) != bits[1]
             assert outs[0].value == want
             assert outs[0].label == (out_l0[0] ^ (gi.delta if want else 0))
+
+
+def test_neg_pos_sum_of_powers_of_two():
+    """cac/utils.rs:2 parity: the ±2^i decomposition reconstructs the value,
+    never exceeds the plain binary weight, and drives scalar-mul correctly."""
+    import random
+
+    from gsv_tpu.protocol.cac import G, _naf_mul, neg_pos_sum_of_powers_of_two
+
+    rng = random.Random(3)
+    for _ in range(200):
+        k = rng.randrange(0, 1 << 64)
+        bits = [(k >> i) & 1 == 1 for i in range(k.bit_length())]
+        d = neg_pos_sum_of_powers_of_two(bits)
+        assert sum(v << i for i, v in enumerate(d)) == k, k
+        assert sum(1 for v in d if v) <= max(1, bin(k).count("1")), k
+        assert not d or d[-1] != 0
+    for k in (0, 1, 7, 12345, (1 << 62) - 1):
+        assert _naf_mul(G, k) == G.mul(k), k

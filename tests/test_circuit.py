@@ -313,13 +313,14 @@ def test_pallas_hasher_matches_aes(monkeypatch):
         words_from_int(rng.true_label0),
     )
     outs = {}
-    for hasher in ("aes", "aes_pallas"):
+    for hasher in ("aes", "aes_pallas", "aes_pallas2"):
         cts = []
         outw, _ = PlanExecutor(plan, hasher=hasher).garble(
             *args, ct_handler=lambda c: cts.append(np.asarray(c))
         )
         outs[hasher] = (int_array_from_words(outw), int_array_from_words(np.concatenate(cts)))
     assert outs["aes"] == outs["aes_pallas"]
+    assert outs["aes"] == outs["aes_pallas2"]
 
 
 def test_arity_check_surface():
@@ -404,3 +405,18 @@ def test_every_gate_type_garble_evaluate_compiled():
                 assert labs[gt] == out_l0[gt] ^ (delta if want else 0), gt
             assert vals[10] == (1 - a)
             assert labs[10] == out_l0[10] ^ (delta if not a else 0)
+
+
+def test_template_cache_lru_bound():
+    """Reference parity (component_template_pool.rs:10): the template pool
+    is LRU-bounded; recently used templates survive eviction."""
+    from gsv_tpu.circuit.builder import TemplateCache
+
+    c = TemplateCache(max_entries=3)
+    for k in "abc":
+        c.put(k, k.upper())
+    assert c.get("a") == "A"  # refresh 'a'
+    c.put("d", "D")  # evicts 'b' (least recently used)
+    assert c.get("b") is None
+    assert c.get("a") == "A" and c.get("c") == "C" and c.get("d") == "D"
+    assert len(c.templates) == 3

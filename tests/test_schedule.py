@@ -490,12 +490,13 @@ def test_batched_pallas_group_matches_aes(plans, monkeypatch):
     f0 = words_from_int_array([r.false_label0 for r in rngs])
     t0 = words_from_int_array([r.true_label0 for r in rngs])
     outs = {}
-    for hasher in ("aes", "aes_pallas"):
+    for hasher in ("aes", "aes_pallas", "aes_pallas2"):
         out, _, dig = GroupExecutor(gplan, batch=B, hasher=hasher).garble(
             in_l0, delta, f0, t0, ct_handler=None, commit=True)
         outs[hasher] = (np.asarray(out), np.asarray(dig))
-    assert (outs["aes"][0] == outs["aes_pallas"][0]).all()
-    assert (outs["aes"][1] == outs["aes_pallas"][1]).all()
+    for hasher in ("aes_pallas", "aes_pallas2"):
+        assert (outs["aes"][0] == outs[hasher][0]).all()
+        assert (outs["aes"][1] == outs[hasher][1]).all()
 
 
 def test_preload_constants_matches_lazy(plans):
