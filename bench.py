@@ -26,6 +26,9 @@ import time
 import numpy as np
 
 GPLAN = os.environ.get("GSV_GPLAN", ".gplan_k6_uniform_1048576.pkl")
+# seg-v3 plan (exact site chunking, 2.09x fewer AES blocks/pass) — preferred
+# once its own program fill has landed (sentinel below)
+GPLAN_V3 = ".gplan_k6_uniform_1048576_v3.pkl"
 BASELINE = 249e6  # reference 16-instance / 8-core aggregate
 
 
@@ -216,6 +219,13 @@ def main() -> None:
     for cand in ("aes_pallas", "aes_pallas2"):
         if os.path.exists(f".bench_full_ready_{cand.replace('aes_', '')}"):
             hasher = cand
+    # the seg-v3 plan + pallas hasher is the headline config once its own
+    # 86-program fill has landed (r4: v3 cuts AES blocks 2.09x)
+    global GPLAN
+    if ("GSV_GPLAN" not in os.environ and os.path.exists(GPLAN_V3)
+            and os.path.exists(".bench_full_ready_pallas_v3")):
+        GPLAN = GPLAN_V3
+        hasher = "aes_pallas"
     for a in sys.argv[1:]:
         if a.startswith("--hasher="):
             hasher = a.split("=", 1)[1]

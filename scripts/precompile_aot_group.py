@@ -52,7 +52,15 @@ def main():
         if isinstance(g, GroupStep):
             progs.setdefault((tape_signature(g.tape), g.header_maps.shape[0]), g)
     work = list(progs.values())
-    print(f"{len(work)} group programs ({mode}, commit={commit})", flush=True)
+    # GSV_FILL_SHARD="k/n": compile only every n-th program starting at k —
+    # lets n processes fill concurrently (compile RPCs are lowering-bound on
+    # the host side; cache hits make overlap between shards nearly free)
+    shard = os.environ.get("GSV_FILL_SHARD")
+    if shard:
+        k, nsh = (int(x) for x in shard.split("/"))
+        work = work[k::nsh]
+    print(f"{len(work)} group programs ({mode}, commit={commit}"
+          + (f", shard {shard}" if shard else "") + ")", flush=True)
 
     # GSV_ARENA_SIZE: compile at a shared arena size (>= the plan's own) so
     # multiple plans reuse one another's programs — see GroupExecutor.

@@ -22,7 +22,7 @@ fill() {  # fill <mode> <log>
   for i in $(seq 1 50); do
     pass_log="$2.pass"
     echo "=== $1 pass $i $(date -u +%H:%M:%S) ===" >> "$2"
-    GSV_HASHER=aes_pallas2 timeout 10800 \
+    GSV_HASHER=aes_pallas timeout 10800 \
       python scripts/precompile_aot_group.py 32 "$PKL_V3" "$1" > "$pass_log" 2>&1 || true
     cat "$pass_log" >> "$2"
     grep -q "precompile complete (0 failed)" "$pass_log" && return 0
@@ -48,13 +48,13 @@ fi
 # 2) v3 + pallas2 garble fill
 [ -f "$PKL_V3" ] || { echo "missing $PKL_V3 — run build_gplan with GSV_SEG_V3=1"; exit 1; }
 fill garble_nocts /tmp/precompile_v3_pallas2.log || exit 1
-commit_cache "Warm TPU compile cache: seg-v3 plan, aes_pallas2 garble_nocts@32"
+commit_cache "Warm TPU compile cache: seg-v3 plan, aes_pallas garble_nocts@32"
 
 # 3) bench on the v3 plan (per-pass JSON; generous deadline)
-touch .bench_full_ready_pallas2_v3
+touch .bench_full_ready_pallas_v3
 GSV_GPLAN="$PKL_V3" GSV_BENCH_DEADLINE=7200 timeout 7200 \
-  python bench.py 32 --hasher=aes_pallas2 --full 2>&1 | tee /tmp/bench_v3_pallas2.log
+  python bench.py 32 --hasher=aes_pallas --full 2>&1 | tee /tmp/bench_v3_pallas2.log
 
 # 4) evaluate fill for the protocol flows
 fill evaluate /tmp/precompile_v3_eval.log || exit 1
-commit_cache "Warm TPU compile cache: seg-v3 plan, aes_pallas2 evaluate@32"
+commit_cache "Warm TPU compile cache: seg-v3 plan, aes_pallas evaluate@32"
