@@ -420,3 +420,28 @@ def test_template_cache_lru_bound():
     assert c.get("b") is None
     assert c.get("a") == "A" and c.get("c") == "C" and c.get("d") == "D"
     assert len(c.templates) == 3
+
+
+def test_component_top_aggregate():
+    """The per-gadget cost aggregator (test_log_parser.bash analogue) counts
+    exact DAG multiplicities: sum over rows of own-gates == circuit total."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "component_top", "scripts/component_top.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from gsv_tpu.models.groth16_verifier import fq_mul_model
+
+    runner = fq_mul_model()
+    rows, hits, misses = mod.aggregate(runner.template, runner.cache)
+    assert misses == len(runner.cache.templates)
+    # every fully-expanded gate is owned by exactly one component
+    assert (
+        sum(r["sum_own_gates"] for r in rows.values())
+        == runner.template.total_gates
+    )
+    # root appears exactly once
+    assert rows["<root>"]["count"] == 1
