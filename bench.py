@@ -57,6 +57,9 @@ def bench_full(B: int, hasher: str = "aes") -> dict:
     pre = ex.preload_constants()
     print(f"[bench] constants preloaded in {pre:.0f}s", file=sys.stderr,
           flush=True)
+    prew = ex.preload_programs(modes=("garble_nocts",))
+    print(f"[bench] programs warm-executed in {prew:.0f}s", file=sys.stderr,
+          flush=True)
     rngs = [GarblerRng(1 + i) for i in range(nb)]
     in_l0 = np.stack(
         [words_from_int_array([r.issue_label0() for r in rngs])

@@ -1426,6 +1426,71 @@ class GroupExecutor:
                     self._dev[key] = (spec[1].result(), spec[2].result())
         return time.perf_counter() - t0
 
+    def preload_programs(self, modes=("garble_nocts",), commit: bool = True,
+                         threads: int | None = None) -> float:
+        """Warm-execute every distinct group program for ``modes`` up front.
+
+        The dispatch loop's first call per program otherwise triggers the
+        persistent-cache executable deserialize+load round trip through the
+        tunnel (3-60 s apiece, ~86 programs) interleaved into the timed
+        pass (the r4 bench crawled at 150M plan-gates/397 s before this).
+        An AOT ``.lower().compile()`` would NOT help: its executable lives
+        on the Compiled object, not in the jit dispatch cache — so this
+        dispatches each program once on throwaway device buffers (donation
+        threads one arena through, keeping HBM flat).  Requires
+        ``preload_constants`` first (reuses its device-resident maps).
+        Modes: "garble_nocts" (cts-free committed garble), "garble",
+        "evaluate", "execute".  Returns wall seconds."""
+        import time
+
+        from gsv_tpu.circuit.schedule import GroupStep
+
+        t0 = time.perf_counter()
+        progs = {}
+        for gi, g in enumerate(self.plan.steps):
+            if isinstance(g, GroupStep):
+                progs.setdefault(
+                    (g.tape.content_key, g.header_maps.shape[0]), (gi, g))
+        B = self.batch
+        A = self.arena_size
+        arena = jnp.zeros((B, A, 4) if B else (A, 4), jnp.uint32)
+        delta = jnp.zeros((B, 4) if B else (4,), jnp.uint32)
+        digest = jnp.zeros((B, 4) if B else (4,), jnp.uint32)
+        bits = jnp.zeros((B, A) if B else (A,), jnp.uint8)
+        for mode in modes:
+            emit_cts = mode != "garble_nocts"
+            m = "garble" if mode == "garble_nocts" else mode
+            for gi, g in progs.values():
+                # execute-mode dispatches are keyed (commit=False,
+                # emit_cts=True) — mirror the run loop exactly
+                fn, oo, meta, tail = self._dispatch(
+                    m, False if m == "execute" else commit,
+                    True if m == "execute" else emit_cts,
+                    g.tape, g.header_maps.shape[0])
+                hm, om, fb, ghi, glo, ct_loc, token, gid = self._group_dev(
+                    g, gi)
+                if m == "garble":
+                    out = fn(arena, token, hm, om, oo, fb, delta, ghi, glo,
+                             ct_loc, digest, gid, *tail)
+                    if emit_cts:
+                        arena, _, digest = out
+                    else:
+                        arena, digest = out
+                elif m == "evaluate":
+                    cts_in = jnp.zeros(
+                        (B, token.shape[0], 4) if B else (token.shape[0], 4),
+                        jnp.uint32,
+                    )
+                    arena, bits, digest = fn(
+                        arena, bits, cts_in, hm, om, oo, fb, ghi, glo,
+                        ct_loc, digest, gid, *tail,
+                    )
+                else:  # execute
+                    bits = fn(bits, hm, om, oo, fb, *tail)
+            # honest barrier: loads are done only once results are readable
+            np.asarray(digest if m != "execute" else bits[..., :1])
+        return time.perf_counter() - t0
+
     def _progress(self, phase: str):
         from gsv_tpu.core.progress import ProgressLogger
 

@@ -552,3 +552,29 @@ def test_preload_constants_batched_packed(plans, monkeypatch):
                                    ct_handler=None, commit=True)
     assert (np.asarray(out_lazy) == np.asarray(out_pre)).all()
     assert (np.asarray(d_lazy) == np.asarray(d_pre)).all()
+
+
+def test_preload_programs_then_garble(plans):
+    """Warm-executing every distinct program on throwaway buffers must not
+    perturb a subsequent real pass (donated dummies are independent)."""
+    plan, gplan = plans
+    rng = GarblerRng(5)
+    in_l0 = [rng.issue_label0() for _ in range(N_IN)]
+    args = (
+        words_from_int_array(in_l0),
+        words_from_int(rng.delta),
+        words_from_int(rng.false_label0),
+        words_from_int(rng.true_label0),
+    )
+    want, _, want_dig = GroupExecutor(gplan).garble(
+        *args, ct_handler=None, commit=True
+    )
+    gex = GroupExecutor(gplan)
+    gex.preload_constants()
+    dt = gex.preload_programs(
+        modes=("garble_nocts", "garble", "evaluate", "execute")
+    )
+    assert dt >= 0
+    got, _, got_dig = gex.garble(*args, ct_handler=None, commit=True)
+    assert (np.asarray(want) == np.asarray(got)).all()
+    assert (np.asarray(want_dig) == np.asarray(got_dig)).all()
