@@ -1440,11 +1440,17 @@ class GroupExecutor:
         threads one arena through, keeping HBM flat).  Requires
         ``preload_constants`` first (reuses its device-resident maps).
         Modes: "garble_nocts" (cts-free committed garble), "garble",
-        "evaluate", "execute".  Returns wall seconds."""
+        "evaluate", "execute".  A small thread pool overlaps the per-program
+        compile/load RPCs (each thread owns its donated buffers); a cold
+        warmup — e.g. after a jax version bump invalidates the persistent
+        cache — is ~86 remote recompiles, so expect 15-60 min the first
+        time and minutes on a warm cache.  Returns wall seconds."""
         import time
+        from concurrent.futures import ThreadPoolExecutor
 
         from gsv_tpu.circuit.schedule import GroupStep
 
+        threads = threads or int(os.environ.get("GSV_PRELOAD_THREADS", "4"))
         t0 = time.perf_counter()
         progs = {}
         for gi, g in enumerate(self.plan.steps):
@@ -1453,42 +1459,60 @@ class GroupExecutor:
                     (g.tape.content_key, g.header_maps.shape[0]), (gi, g))
         B = self.batch
         A = self.arena_size
-        arena = jnp.zeros((B, A, 4) if B else (A, 4), jnp.uint32)
-        delta = jnp.zeros((B, 4) if B else (4,), jnp.uint32)
-        digest = jnp.zeros((B, 4) if B else (4,), jnp.uint32)
-        bits = jnp.zeros((B, A) if B else (A,), jnp.uint8)
-        for mode in modes:
-            emit_cts = mode != "garble_nocts"
-            m = "garble" if mode == "garble_nocts" else mode
-            for gi, g in progs.values():
-                # execute-mode dispatches are keyed (commit=False,
-                # emit_cts=True) — mirror the run loop exactly
-                fn, oo, meta, tail = self._dispatch(
-                    m, False if m == "execute" else commit,
-                    True if m == "execute" else emit_cts,
-                    g.tape, g.header_maps.shape[0])
-                hm, om, fb, ghi, glo, ct_loc, token, gid = self._group_dev(
-                    g, gi)
-                if m == "garble":
-                    out = fn(arena, token, hm, om, oo, fb, delta, ghi, glo,
-                             ct_loc, digest, gid, *tail)
-                    if emit_cts:
-                        arena, _, digest = out
-                    else:
-                        arena, digest = out
-                elif m == "evaluate":
-                    cts_in = jnp.zeros(
-                        (B, token.shape[0], 4) if B else (token.shape[0], 4),
-                        jnp.uint32,
-                    )
-                    arena, bits, digest = fn(
-                        arena, bits, cts_in, hm, om, oo, fb, ghi, glo,
-                        ct_loc, digest, gid, *tail,
-                    )
-                else:  # execute
-                    bits = fn(bits, hm, om, oo, fb, *tail)
-            # honest barrier: loads are done only once results are readable
-            np.asarray(digest if m != "execute" else bits[..., :1])
+        work = list(progs.values())
+        done = [0]
+
+        def warm_shard(shard):
+            arena = jnp.zeros((B, A, 4) if B else (A, 4), jnp.uint32)
+            delta = jnp.zeros((B, 4) if B else (4,), jnp.uint32)
+            digest = jnp.zeros((B, 4) if B else (4,), jnp.uint32)
+            bits = jnp.zeros((B, A) if B else (A,), jnp.uint8)
+            for mode in modes:
+                emit_cts = mode != "garble_nocts"
+                m = "garble" if mode == "garble_nocts" else mode
+                for gi, g in shard:
+                    # execute-mode dispatches are keyed (commit=False,
+                    # emit_cts=True) — mirror the run loop exactly
+                    fn, oo, meta, tail = self._dispatch(
+                        m, False if m == "execute" else commit,
+                        True if m == "execute" else emit_cts,
+                        g.tape, g.header_maps.shape[0])
+                    hm, om, fb, ghi, glo, ct_loc, token, gid = (
+                        self._group_dev(g, gi))
+                    if m == "garble":
+                        out = fn(arena, token, hm, om, oo, fb, delta, ghi,
+                                 glo, ct_loc, digest, gid, *tail)
+                        if emit_cts:
+                            arena, _, digest = out
+                        else:
+                            arena, digest = out
+                    elif m == "evaluate":
+                        cts_in = jnp.zeros(
+                            (B, token.shape[0], 4) if B
+                            else (token.shape[0], 4),
+                            jnp.uint32,
+                        )
+                        arena, bits, digest = fn(
+                            arena, bits, cts_in, hm, om, oo, fb, ghi, glo,
+                            ct_loc, digest, gid, *tail,
+                        )
+                    else:  # execute
+                        bits = fn(bits, hm, om, oo, fb, *tail)
+                    done[0] += 1
+                    if done[0] % 10 == 0:
+                        print(f"[preload] {done[0]} program warm-executions "
+                              f"({time.perf_counter()-t0:.0f}s)", flush=True)
+                # honest barrier: loads are done once results are readable
+                np.asarray(digest if m != "execute" else bits[..., :1])
+
+        if threads <= 1 or len(work) <= 1:
+            warm_shard(work)
+        else:
+            with ThreadPoolExecutor(threads) as pool:
+                futs = [pool.submit(warm_shard, work[k::threads])
+                        for k in range(threads)]
+                for f in futs:
+                    f.result()
         return time.perf_counter() - t0
 
     def _progress(self, phase: str):
