@@ -23,9 +23,9 @@ fill() {  # fill <mode> <log>
     pass_log="$2.pass"
     echo "=== $1 pass $i $(date -u +%H:%M:%S) ===" >> "$2"
     GSV_HASHER=aes_pallas timeout 10800 \
-      python scripts/precompile_aot_group.py 32 "$PKL_V3" "$1" > "$pass_log" 2>&1 || true
+      python scripts/warm_fill.py 32 "$PKL_V3" "$1" > "$pass_log" 2>&1 || true
     cat "$pass_log" >> "$2"
-    grep -q "precompile complete (0 failed)" "$pass_log" && return 0
+    grep -q "warm fill complete" "$pass_log" && return 0
     probe || { echo "tunnel died mid-fill; waiting" >> "$2"; until probe; do sleep 240; done; }
     sleep 5
   done
