@@ -1450,13 +1450,20 @@ class GroupExecutor:
 
         from gsv_tpu.circuit.schedule import GroupStep
 
-        threads = threads or int(os.environ.get("GSV_PRELOAD_THREADS", "4"))
+        # 2 threads, not preload_constants' 4: each thread owns a full
+        # donated arena (~1.2GB at B=32) plus its in-flight programs'
+        # workspaces — 4 warm-execution threads OOM'd a 16GB chip (r4)
+        threads = threads or int(os.environ.get("GSV_WARM_THREADS", "2"))
         t0 = time.perf_counter()
         progs = {}
         for gi, g in enumerate(self.plan.steps):
             if isinstance(g, GroupStep):
+                # one warm execution per compiled program = per (shape
+                # signature, S-bucket); content_key is finer (~5x more
+                # units) and adds nothing — executables key on shapes
                 progs.setdefault(
-                    (g.tape.content_key, g.header_maps.shape[0]), (gi, g))
+                    (tape_signature(g.tape), g.header_maps.shape[0]),
+                    (gi, g))
         B = self.batch
         A = self.arena_size
         work = list(progs.values())
@@ -1499,7 +1506,13 @@ class GroupExecutor:
                     else:  # execute
                         bits = fn(bits, hm, om, oo, fb, *tail)
                     done[0] += 1
-                    if done[0] % 10 == 0:
+                    if done[0] % 8 == 0:
+                        # drain the async queue: each pending execution
+                        # holds its device workspace, and an unbounded
+                        # queue OOMs the chip (r4 run: RESOURCE_EXHAUSTED
+                        # ~330 queued warm executions in)
+                        np.asarray(digest if m != "execute"
+                                   else bits[..., :1])
                         print(f"[preload] {done[0]} program warm-executions "
                               f"({time.perf_counter()-t0:.0f}s)", flush=True)
                 # honest barrier: loads are done once results are readable
