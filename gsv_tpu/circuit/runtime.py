@@ -1637,6 +1637,13 @@ class GroupExecutor:
         prog = self._progress("garbled")
         gate = self._InflightGate()
         nb = batched or 1
+        # The cts-free path holds no big output buffers, but each QUEUED
+        # remote execution still pins device workspace — an unthrottled
+        # enqueue (constants+programs preloaded, 21s for 7k dispatches)
+        # wedged the chip for >30 min (r4).  Bound queue DEPTH with a
+        # cheap digest sync every N dispatches (~27 ms RTT apiece).
+        max_q = int(os.environ.get("GSV_MAX_QUEUE", "256"))
+        since_sync = 0
         memlog = int(os.environ.get("GSV_MEM_LOG", 0))
         gates_done = 0
         next_ckpt = checkpoint_gates if (checkpoint_gates and commit) else None
@@ -1662,6 +1669,10 @@ class GroupExecutor:
                         arena, token, hm, om, oo, fb, delta, ghi, glo, ct_loc,
                         digest, gid, *tail,
                     )
+                    since_sync += 1
+                    if since_sync >= max_q:
+                        np.asarray(digest)  # drain the execution queue
+                        since_sync = 0
                 else:
                     arena, cts, digest = fn(
                         arena, token, hm, om, oo, fb, delta, ghi, glo, ct_loc,
