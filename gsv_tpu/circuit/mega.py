@@ -1,0 +1,399 @@
+"""Mega-dispatch: the grouped garble pass as a handful of device programs.
+
+Per-dispatch remote-execution overhead (~150-250 ms through the tunneled
+PJRT client) dominates the ~44k-dispatch grouped plan — the r4 honest bench
+measured ~50-65M gates/s with compute floors ~10x higher (docs/perf-model.md
+"Dispatch overhead, not AES").  TPU-native fix: fold runs of group dispatches
+into ONE jitted program — ``lax.scan`` over a step sequence whose body is a
+``lax.switch`` across the plan's hot tape signatures, with every per-step
+constant staged in two flat device pools addressed by compile-time layout
+(the ``pack_seg_args`` trick, applied to the whole plan).
+
+The branch set covers the top-K signatures by dispatch count (top-40 cover
+98.7% of v3-plan dispatches) plus pow2-bucketed copy branches and a no-op
+padding branch; fat/rare signatures stay individual dispatches between scan
+chunks.  A fixed CHUNK length keeps it to ONE compiled program per
+(hasher, batch, plan) reused for every chunk.
+
+Bit-exactness: branches call the same ``_group_step_fn`` body the
+sequential executor jits, in the same plan order, so labels, gate ids and
+the chained digest are identical (tested vs ``GroupExecutor.garble``).
+
+Reference parity: this is the dispatch-side replacement for the streaming
+loop in the reference's ``src/circuit/streaming_mode.rs`` — same
+garble-side semantics, scheduled TPU-first.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gsv_tpu.circuit.runtime import (
+    _group_step_fn,
+    _pallas_hasher_tag,
+    h2d,
+    padded_seg_args_group,
+    tape_signature,
+)
+from gsv_tpu.circuit.schedule import GroupStep
+
+_MEGA_JITS: dict = {}
+
+
+def _bucket_pow2(n: int, lo: int = 8) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+@dataclass
+class MegaStaging:
+    """Host-side staging of a plan for mega dispatch (see build_mega)."""
+
+    layout: tuple  # static, hashable — closed into the jit program
+    pool32: np.ndarray  # flat uint32: maps, seg int32/uint32 leaves, copies
+    pool8: np.ndarray  # flat uint8: seg uint8 leaves
+    bidx: np.ndarray  # (n_chunks, chunk) int32 branch id per scan step
+    pos: np.ndarray  # (n_chunks, chunk) int32 index into the branch's pools
+    chunk_gates: np.ndarray  # (n_chunks,) int64 aggregate gates per chunk
+    # plan walk: interleaved ("mega", chunk_id) / ("step", plan_index)
+    schedule: list = field(default_factory=list)
+    n_branch_steps: int = 0
+    n_excluded: int = 0
+
+
+def build_mega(plan, top_k: int = 40, chunk: int = 256) -> MegaStaging:
+    """Stage ``plan`` for mega dispatch.
+
+    Branch ids: 0 = no-op (chunk padding), 1..n_sig = hot tape signatures,
+    then one branch per pow2 copy-length bucket.  Steps not covered (rare /
+    fat signatures beyond ``top_k``) break the scan into runs; each run is
+    chunked to ``chunk`` scan steps with no-op padding.
+    """
+    from collections import Counter
+
+    from gsv_tpu.circuit.runtime import GroupExecutor
+
+    _group_maps_np = GroupExecutor._group_maps_np
+
+    sig_of = {}
+    counts = Counter()
+    for g in plan.steps:
+        if isinstance(g, GroupStep):
+            k = (tape_signature(g.tape), g.header_maps.shape[0])
+            sig_of[id(g)] = k
+            counts[k] += 1
+    hot = [k for k, _ in counts.most_common(top_k)]
+    sid = {k: i + 1 for i, k in enumerate(hot)}  # 0 is the no-op branch
+
+    # -- collect per-branch pools (host) ---------------------------------
+    maps: dict = {k: {f: [] for f in
+                      ("hm", "om", "fb", "ghi", "glo", "ctl", "gid", "cidx")}
+                  for k in hot}
+    contents: dict = {k: {} for k in hot}  # content_key -> row
+    seg_meta: dict = {}  # sig key -> (segs_shapes, oo, meta) from first tape
+    copy_buckets: dict = {}  # L -> {"src": [], "dst": []}
+    copy_rows: dict = {}
+    steps_branch = np.full(len(plan.steps), -1, np.int32)
+    steps_pos = np.zeros(len(plan.steps), np.int32)
+    step_gates = np.zeros(len(plan.steps), np.int64)
+
+    host_segs: dict = {}
+
+    def seg_host(tape):
+        ck = tape.content_key
+        if ck not in host_segs:
+            host_segs[ck] = padded_seg_args_group(tape)
+        return host_segs[ck]
+
+    for gi, g in enumerate(plan.steps):
+        if isinstance(g, GroupStep):
+            k = sig_of[id(g)]
+            step_gates[gi] = g.tape.total_gates * g.n_real
+            if k not in sid:
+                continue  # excluded: stays an individual dispatch
+            segs_np, oo_np, meta = seg_host(g.tape)
+            seg_meta.setdefault(k, (segs_np, oo_np, meta))
+            hm, om, fb, ghi, glo, ctl, tr = _group_maps_np(g, meta)
+            m = maps[k]
+            cpool = contents[k]
+            ck = g.tape.content_key
+            if ck not in cpool:
+                cpool[ck] = (len(cpool), segs_np, oo_np)
+            m["hm"].append(hm)
+            m["om"].append(om)
+            m["fb"].append(fb)
+            m["ghi"].append(ghi)
+            m["glo"].append(glo)
+            m["ctl"].append(ctl)
+            m["gid"].append(np.uint32(gi))
+            m["cidx"].append(np.int32(cpool[ck][0]))
+            steps_branch[gi] = sid[k]
+            steps_pos[gi] = len(m["hm"]) - 1
+        else:  # copy step
+            src = np.asarray(g.src, np.int32)
+            dst = np.asarray(g.dst, np.int32)
+            L = _bucket_pow2(len(src))
+            b = copy_buckets.setdefault(L, {"src": [], "dst": []})
+            pad = L - len(src)
+            if pad:
+                # slot 0 -> slot 0 self-copy: an exact no-op on the arena
+                src = np.concatenate([src, np.zeros(pad, np.int32)])
+                dst = np.concatenate([dst, np.zeros(pad, np.int32)])
+            b["src"].append(src)
+            b["dst"].append(dst)
+            copy_rows.setdefault(L, []).append(gi)
+            steps_branch[gi] = -2 - len(copy_buckets)  # resolved below
+            steps_pos[gi] = len(b["src"]) - 1
+
+    copy_sid = {L: len(hot) + 1 + i
+                for i, L in enumerate(sorted(copy_buckets))}
+    for L, rows in copy_rows.items():
+        for n, gi in enumerate(rows):
+            steps_branch[gi] = copy_sid[L]
+            steps_pos[gi] = n
+
+    # -- pack everything into flat pools with a static layout ------------
+    p32, p8 = [], []
+    off32 = off8 = 0
+
+    def put(arr):
+        nonlocal off32, off8
+        arr = np.ascontiguousarray(arr)
+        if arr.dtype == np.uint8:
+            p8.append(arr.ravel())
+            ent = ("u8", off8, arr.shape)
+            off8 += arr.size
+        else:
+            tag = {np.dtype(np.int32): "i32",
+                   np.dtype(np.uint32): "u32"}[arr.dtype]
+            p32.append(arr.view(np.uint32).ravel())
+            ent = (tag, off32, arr.shape)
+            off32 += arr.size
+        return ent
+
+    layout = []
+    for k in hot:
+        m = maps[k]
+        segs_np, oo_np, meta = seg_meta[k]
+        ent = {f: put(np.stack(m[f]).astype(
+            np.uint32 if f in ("ghi", "glo", "gid") else np.int32))
+            for f in ("hm", "om", "fb", "ghi", "glo", "ctl", "gid", "cidx")}
+        # content pools: rows ordered by first-seen index
+        rows = sorted(contents[k].values())
+        oo_pool = np.stack([oo.astype(np.int32) for _, _, oo in rows]) \
+            if oo_np.shape[0] else np.zeros((len(rows), 0), np.int32)
+        ent["oo"] = put(oo_pool)
+        seg_l = []
+        for si in range(len(segs_np)):
+            fl = []
+            for f, a0 in segs_np[si].items():
+                stacked = np.stack([segs[si][f] for _, segs, _ in rows])
+                fl.append((f, put(stacked)))
+            seg_l.append(tuple(fl))
+        ent["segs"] = tuple(seg_l)
+        S = k[1]
+        ent["S"] = S
+        ent["ctb"] = meta["ctb"]
+        ent["n_out"] = meta["n_out"]
+        layout.append(
+            ("sig", tuple(sorted((f, v) for f, v in ent.items()
+                                 if f not in ("segs",))), ent["segs"]))
+    for L in sorted(copy_buckets):
+        b = copy_buckets[L]
+        layout.append(("copy",
+                       put(np.stack(b["src"])), put(np.stack(b["dst"]))))
+
+    pool32 = np.concatenate(p32) if p32 else np.zeros(1, np.uint32)
+    pool8 = np.concatenate(p8) if p8 else np.zeros(1, np.uint8)
+
+    # -- chunk the covered runs ------------------------------------------
+    bidx_rows, pos_rows, gate_rows, schedule = [], [], [], []
+    i, n = 0, len(plan.steps)
+    while i < n:
+        if steps_branch[i] < 0:
+            schedule.append(("step", i))
+            i += 1
+            continue
+        j = i
+        while j < n and steps_branch[j] >= 0:
+            j += 1
+        for a in range(i, j, chunk):
+            b = min(a + chunk, j)
+            brow = np.zeros(chunk, np.int32)
+            prow = np.zeros(chunk, np.int32)
+            brow[: b - a] = steps_branch[a:b]
+            prow[: b - a] = steps_pos[a:b]
+            schedule.append(("mega", len(bidx_rows)))
+            bidx_rows.append(brow)
+            pos_rows.append(prow)
+            gate_rows.append(int(step_gates[a:b].sum()))
+        i = j
+    n_excluded = int(np.sum(steps_branch < 0))
+    return MegaStaging(
+        layout=tuple(layout),
+        pool32=pool32,
+        pool8=pool8,
+        bidx=np.stack(bidx_rows) if bidx_rows else np.zeros((0, chunk), np.int32),
+        pos=np.stack(pos_rows) if pos_rows else np.zeros((0, chunk), np.int32),
+        chunk_gates=np.asarray(gate_rows, np.int64),
+        schedule=schedule,
+        n_branch_steps=int(np.sum(steps_branch >= 0)),
+        n_excluded=n_excluded,
+    )
+
+
+def _views(layout_ent, P32, P8):
+    """Traced views of one pooled array from its static layout entry."""
+    tag, off, shape = layout_ent
+    n = int(math.prod(shape))
+    if tag == "u8":
+        return lax.slice(P8, (off,), (off + n,)).reshape(shape)
+    v = lax.slice(P32, (off,), (off + n,)).reshape(shape)
+    if tag == "i32":
+        v = lax.bitcast_convert_type(v, jnp.int32)
+    return v
+
+
+def mega_jit(hasher: str, batch: int | None, layout: tuple, chunk: int):
+    """One jitted scan-over-switch program for every chunk of a plan."""
+    key = ("mega", hasher, batch, hash(layout), chunk)
+    fn = _MEGA_JITS.get(key)
+    if fn is not None:
+        return fn
+    base = _group_step_fn("garble", _pallas_hasher_tag(hasher, batch),
+                          batch, commit=True, emit_cts=False)
+
+    def make_sig_branch(flat, seg_layout):
+        ent = dict(flat)
+
+        def br(arena, digest, k, P32, P8, delta):
+            g32 = lambda f: _views(ent[f], P32, P8)  # noqa: E731
+            hm = g32("hm")[k]
+            om = g32("om")[k]
+            fb = g32("fb")[k]
+            ghi = g32("ghi")[k]
+            glo = g32("glo")[k]
+            ctl = g32("ctl")[k]
+            gid = g32("gid")[k]
+            cid = g32("cidx")[k]
+            oo_pool = g32("oo")
+            oo = oo_pool[cid] if ent["n_out"] else \
+                jnp.zeros((0,), jnp.int32)
+            segs = []
+            for seg_l in seg_layout:
+                segs.append({f: _views(le, P32, P8)[cid] for f, le in seg_l})
+            tr = ent["S"] * ent["ctb"]
+            token = jnp.zeros((tr + 1, 0), jnp.uint32)
+            return base(arena, token, hm, om, oo, fb, delta, ghi, glo,
+                        ctl, digest, gid, segs)
+
+        return br
+
+    def make_copy_branch(src_ent, dst_ent):
+        def br(arena, digest, k, P32, P8, delta):
+            src = _views(src_ent, P32, P8)[k]
+            dst = _views(dst_ent, P32, P8)[k]
+            return arena.at[dst].set(arena[src]), digest
+
+        return br
+
+    branches = [lambda arena, digest, k, P32, P8, delta: (arena, digest)]
+    for ent in layout:
+        if ent[0] == "sig":
+            branches.append(make_sig_branch(ent[1], ent[2]))
+        else:
+            branches.append(make_copy_branch(ent[1], ent[2]))
+
+    def mega(arena, digest, delta, brow, prow, P32, P8):
+        def body(carry, x):
+            a, d = carry
+            a, d = lax.switch(
+                x[0], branches, a, d, x[1], P32, P8, delta)
+            return (a, d), None
+
+        (arena, digest), _ = lax.scan(
+            body, (arena, digest), jnp.stack([brow, prow], axis=1))
+        return arena, digest
+
+    if batch:
+        mega = jax.vmap(mega, in_axes=(0, 0, 0, None, None, None, None))
+    fn = jax.jit(mega, donate_argnums=(0, 1))
+    _MEGA_JITS[key] = fn
+    return fn
+
+
+def mega_garble(ex, input_label0s, delta, false_label0, true_label0,
+                top_k: int = 40, chunk: int = 256,
+                checkpoint_gates: int = 0, checkpoint_fn=None):
+    """Committed cts-free garble of ``ex.plan`` via mega dispatch.
+
+    Returns (output_label0s, arena, digest) — bit-identical to
+    ``ex.garble(..., ct_handler=None, commit=True)``.
+    """
+    plan = ex.plan
+    key = ("megastage", top_k, chunk)
+    st = ex._dev.get(key)
+    if st is None:
+        st = build_mega(plan, top_k=top_k, chunk=chunk)
+        ex._dev[key] = st
+    dkey = ("megadev", top_k, chunk)
+    dev = ex._dev.get(dkey)
+    if dev is None:
+        dev = (h2d(st.pool32), h2d(st.pool8), h2d(st.bidx), h2d(st.pos))
+        ex._dev[dkey] = dev
+    P32, P8, BIDX, POS = dev
+    fn = mega_jit(ex.hasher, ex.batch, st.layout, chunk)
+
+    batched = ex.batch
+    arena = ex._build_arena(false_label0, true_label0, input_label0s)
+    delta = ex._shard(np.asarray(delta, dtype=np.uint32))
+    digest = ex._shard(
+        np.zeros((batched, 4) if batched else (4,), np.uint32))
+    nb = batched or 1
+    prog = ex._progress("garbled")
+    max_q = int(os.environ.get("GSV_MAX_QUEUE", "256"))
+    since = 0
+    gates_done = 0
+    next_ckpt = checkpoint_gates or None
+    for kind, idx in st.schedule:
+        if kind == "mega":
+            arena, digest = fn(arena, digest, delta, BIDX[idx], POS[idx],
+                               P32, P8)
+            prog.advance(int(st.chunk_gates[idx]))
+            gates_done += int(st.chunk_gates[idx])
+            since += chunk
+        else:
+            g = plan.steps[idx]
+            if isinstance(g, GroupStep):
+                f2, oo, meta, tail = ex._dispatch(
+                    "garble", True, False, g.tape, g.header_maps.shape[0])
+                hm, om, fb, ghi, glo, ct_loc, token, gid = ex._group_dev(
+                    g, idx)
+                arena, digest = f2(arena, token, hm, om, oo, fb, delta,
+                                   ghi, glo, ct_loc, digest, gid, *tail)
+                prog.advance(g.tape.total_gates * g.n_real)
+                gates_done += g.tape.total_gates * g.n_real
+            else:
+                src, dst = ex._copy_dev(g)
+                arena = ex._copy_fn("execute")(arena, src, dst)
+            since += 1
+        if since >= max_q:
+            np.asarray(digest)
+            since = 0
+        if next_ckpt is not None and gates_done >= next_ckpt:
+            np.asarray(digest)
+            if checkpoint_fn is not None:
+                checkpoint_fn(gates_done)
+            next_ckpt += checkpoint_gates
+    out = np.asarray(arena[..., plan.output_abs, :])
+    return out, arena, np.asarray(digest)
