@@ -57,6 +57,7 @@ def bench_full(B: int, hasher: str = "aes") -> dict:
                 last = json.load(fh)
             last["note"] = ("prior verified run ({}) — fresh run in progress"
                             .format(last.get("measured_at", "?")))
+            last["stale"] = True  # machine-readable: not this run's number
             print(json.dumps(last), flush=True)
         except Exception:
             pass
@@ -70,9 +71,22 @@ def bench_full(B: int, hasher: str = "aes") -> dict:
     pre = ex.preload_constants()
     print(f"[bench] constants preloaded in {pre:.0f}s", file=sys.stderr,
           flush=True)
-    prew = ex.preload_programs(modes=("garble_nocts",))
-    print(f"[bench] programs warm-executed in {prew:.0f}s", file=sys.stderr,
-          flush=True)
+    # mega dispatch (circuit/mega.py): the whole covered plan as ~hundreds
+    # of scan-over-switch executions instead of ~45k individual ones — the
+    # r4 perf model's prescribed fix for the dispatch-overhead wall
+    mega = os.environ.get("GSV_MEGA", "1") == "1"
+    if mega:
+        from gsv_tpu.circuit.mega import mega_garble, preload_mega
+
+        top_k = int(os.environ.get("GSV_MEGA_TOPK", "40"))
+        chunk = int(os.environ.get("GSV_MEGA_CHUNK", "256"))
+        prew = preload_mega(ex, top_k=top_k, chunk=chunk)
+        print(f"[bench] mega + residual programs ready in {prew:.0f}s",
+              file=sys.stderr, flush=True)
+    else:
+        prew = ex.preload_programs(modes=("garble_nocts",))
+        print(f"[bench] programs warm-executed in {prew:.0f}s",
+              file=sys.stderr, flush=True)
     if deadline and time.perf_counter() - t_start > 0.5 * deadline:
         # a cold compile cache ate the window during warmup — stretch the
         # deadline so the (now load-free) measured pass still completes
@@ -119,9 +133,15 @@ def bench_full(B: int, hasher: str = "aes") -> dict:
 
         # 250M plan-gates/checkpoint => an honest JSON line every ~350
         # dispatches, so a driver-timeout kill still records the partial
-        _, _, digest = ex.garble(in_l0, delta, f0, t0s, ct_handler=None,
-                                 commit=True, checkpoint_gates=250_000_000,
-                                 checkpoint_fn=ckpt)
+        if mega:
+            _, _, digest = mega_garble(
+                ex, in_l0, delta, f0, t0s, top_k=top_k, chunk=chunk,
+                checkpoint_gates=250_000_000, checkpoint_fn=ckpt)
+        else:
+            _, _, digest = ex.garble(in_l0, delta, f0, t0s, ct_handler=None,
+                                     commit=True,
+                                     checkpoint_gates=250_000_000,
+                                     checkpoint_fn=ckpt)
         assert digest is not None
         dt = time.perf_counter() - t
         print(f"[bench] {tag} pass: {dt:.0f}s wall (honest D2H-synced)",

@@ -69,6 +69,10 @@ class MegaStaging:
     schedule: list = field(default_factory=list)
     n_branch_steps: int = 0
     n_excluded: int = 0
+    # (tape_signature, S) keys NOT covered by a switch branch — these stay
+    # individual dispatches and are the only per-signature programs a
+    # mega-dispatch pass still needs warm (see preload_mega)
+    excluded_sigs: tuple = ()
 
 
 def build_mega(plan, top_k: int = 40, chunk: int = 256) -> MegaStaging:
@@ -239,7 +243,9 @@ def build_mega(plan, top_k: int = 40, chunk: int = 256) -> MegaStaging:
             gate_rows.append(int(step_gates[a:b].sum()))
         i = j
     n_excluded = int(np.sum(steps_branch < 0))
+    excluded_sigs = tuple(k for k in counts if k not in sid)
     return MegaStaging(
+        excluded_sigs=excluded_sigs,
         layout=tuple(layout),
         pool32=pool32,
         pool8=pool8,
@@ -266,7 +272,10 @@ def _views(layout_ent, P32, P8):
 
 def mega_jit(hasher: str, batch: int | None, layout: tuple, chunk: int):
     """One jitted scan-over-switch program for every chunk of a plan."""
-    key = ("mega", hasher, batch, hash(layout), chunk)
+    # key on the layout tuple itself (hashable), not hash(layout): a Python
+    # hash collision between two plans' layouts must not silently reuse a
+    # program with wrong pool offsets (advisor r4)
+    key = ("mega", hasher, batch, layout, chunk)
     fn = _MEGA_JITS.get(key)
     if fn is not None:
         return fn
@@ -332,6 +341,144 @@ def mega_jit(hasher: str, batch: int | None, layout: tuple, chunk: int):
     return fn
 
 
+# ----------------------------------------------------------------------
+# Trace cache (jax.export): tracing the ~95-branch switch body through the
+# unrolled bitsliced-AES gadgets costs tens of MINUTES of pure Python/
+# lowering work — and jax only persists the XLA *compile*, never the trace.
+# Serializing the Exported (StableHLO) module to disk makes the trace a
+# one-time cost per (code, layout, hasher, batch, chunk): later processes
+# deserialize in seconds and jit the restored call (whose XLA compile then
+# hits the persistent compile cache).  Committed to git like .jit_cache.
+# ----------------------------------------------------------------------
+
+# bump when the traced program semantics change (invalidates trace cache)
+_MEGA_CODE_VERSION = 1
+_MEGA_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".mega_cache")
+
+
+def _mega_cache_path(hasher, batch, layout, chunk, shapes) -> str:
+    import hashlib
+
+    import jax
+
+    key = repr((_MEGA_CODE_VERSION, jax.__version__, hasher, batch, layout,
+                chunk, shapes)).encode()
+    return os.path.join(_MEGA_CACHE_DIR,
+                        hashlib.sha256(key).hexdigest()[:24] + ".stablehlo")
+
+
+def mega_exported(hasher, batch, layout, chunk, shapes):
+    """Jitted mega program via the on-disk trace cache.
+
+    ``shapes``: tuple of (shape, dtype-name) pairs for the 7 call args
+    (arena, digest, delta, brow, prow, P32, P8).  Both the cache-miss and
+    cache-hit paths return ``jit(deserialized.call)`` so every process
+    compiles the byte-identical StableHLO module — one persistent-cache
+    entry serves all runs (an Exported traced here and a fresh jit of the
+    Python fn would otherwise key differently)."""
+    import time
+
+    import jax
+
+    path = _mega_cache_path(hasher, batch, layout, chunk, shapes)
+    key = ("megax", path)
+    fn = _MEGA_JITS.get(key)
+    if fn is not None:
+        return fn
+    from jax import export as jexport
+
+    if os.path.exists(path):
+        t0 = time.time()
+        with open(path, "rb") as fh:
+            exp = jexport.deserialize(bytearray(fh.read()))
+        print(f"[mega] trace cache hit: {path} "
+              f"({time.time()-t0:.0f}s deserialize)", flush=True)
+    else:
+        t0 = time.time()
+        raw = mega_jit(hasher, batch, layout, chunk)
+        args = [jax.ShapeDtypeStruct(s, jnp.dtype(d)) for s, d in shapes]
+        exp = jexport.export(raw)(*args)
+        blob = exp.serialize()
+        os.makedirs(_MEGA_CACHE_DIR, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, path)
+        print(f"[mega] traced+exported in {time.time()-t0:.0f}s "
+              f"({len(blob)/1e6:.0f}MB -> {path})", flush=True)
+        exp = jexport.deserialize(bytearray(blob))
+    fn = jax.jit(exp.call, donate_argnums=(0, 1))
+    _MEGA_JITS[key] = fn
+    return fn
+
+
+def _mega_stage_dev(ex, top_k: int, chunk: int):
+    """Staging + device pools + jitted program for ``ex.plan`` (memoised on
+    the executor, so preload_mega and mega_garble share one build/upload)."""
+    key = ("megastage", top_k, chunk)
+    st = ex._dev.get(key)
+    if st is None:
+        st = build_mega(ex.plan, top_k=top_k, chunk=chunk)
+        ex._dev[key] = st
+    dkey = ("megadev", top_k, chunk)
+    dev = ex._dev.get(dkey)
+    if dev is None:
+        dev = (h2d(st.pool32), h2d(st.pool8), h2d(st.bidx), h2d(st.pos))
+        ex._dev[dkey] = dev
+    B = ex.batch
+    A = ex.arena_size
+    pre = (B,) if B else ()
+    shapes = (
+        (pre + (A, 4), "uint32"),      # arena
+        (pre + (4,), "uint32"),        # digest
+        (pre + (4,), "uint32"),        # delta
+        ((chunk,), "int32"),           # brow
+        ((chunk,), "int32"),           # prow
+        (st.pool32.shape, "uint32"),   # P32
+        (st.pool8.shape, "uint8"),     # P8
+    )
+    # the trace cache was exported without sharding annotations — under an
+    # instances mesh, fall back to the direct jit (sharded-arg semantics)
+    if ex.mesh is None and os.environ.get("GSV_MEGA_EXPORT", "1") == "1":
+        fn = mega_exported(ex.hasher, B, st.layout, chunk, shapes)
+    else:
+        fn = mega_jit(ex.hasher, B, st.layout, chunk)
+    return st, dev, fn
+
+
+def preload_mega(ex, top_k: int = 40, chunk: int = 256,
+                 modes=("garble_nocts",)) -> float:
+    """Warm-execute the mega program + the residual per-signature programs.
+
+    The mega pass needs exactly ONE big compiled program per
+    (hasher, batch, layout) plus per-signature programs only for the
+    excluded (rare/fat) signatures — NOT the full 86-program fill.
+    Warm-executes each on throwaway donated buffers through the real
+    dispatch path (the only fill that hits the runtime persistent-cache
+    key — docs/perf-model.md r4).  Returns wall seconds."""
+    import time
+
+    t0 = time.perf_counter()
+    st, dev, fn = _mega_stage_dev(ex, top_k, chunk)
+    P32, P8, BIDX, POS = dev
+    B = ex.batch
+    A = ex.arena_size
+    arena = jnp.zeros((B, A, 4) if B else (A, 4), jnp.uint32)
+    delta = jnp.zeros((B, 4) if B else (4,), jnp.uint32)
+    digest = jnp.zeros((B, 4) if B else (4,), jnp.uint32)
+    if st.bidx.shape[0]:
+        arena, digest = fn(arena, digest, delta, BIDX[0], POS[0], P32, P8)
+        np.asarray(digest)  # honest: compiled, loaded, executed
+    print(f"[preload] mega program ready in {time.perf_counter()-t0:.0f}s "
+          f"({len(st.layout)} branches, {st.bidx.shape[0]} chunks, "
+          f"{st.n_excluded} residual dispatches)", flush=True)
+    if st.excluded_sigs:
+        ex.preload_programs(modes=modes, only=frozenset(st.excluded_sigs))
+    return time.perf_counter() - t0
+
+
 def mega_garble(ex, input_label0s, delta, false_label0, true_label0,
                 top_k: int = 40, chunk: int = 256,
                 checkpoint_gates: int = 0, checkpoint_fn=None):
@@ -341,18 +488,8 @@ def mega_garble(ex, input_label0s, delta, false_label0, true_label0,
     ``ex.garble(..., ct_handler=None, commit=True)``.
     """
     plan = ex.plan
-    key = ("megastage", top_k, chunk)
-    st = ex._dev.get(key)
-    if st is None:
-        st = build_mega(plan, top_k=top_k, chunk=chunk)
-        ex._dev[key] = st
-    dkey = ("megadev", top_k, chunk)
-    dev = ex._dev.get(dkey)
-    if dev is None:
-        dev = (h2d(st.pool32), h2d(st.pool8), h2d(st.bidx), h2d(st.pos))
-        ex._dev[dkey] = dev
+    st, dev, fn = _mega_stage_dev(ex, top_k, chunk)
     P32, P8, BIDX, POS = dev
-    fn = mega_jit(ex.hasher, ex.batch, st.layout, chunk)
 
     batched = ex.batch
     arena = ex._build_arena(false_label0, true_label0, input_label0s)
@@ -364,14 +501,21 @@ def mega_garble(ex, input_label0s, delta, false_label0, true_label0,
     max_q = int(os.environ.get("GSV_MAX_QUEUE", "256"))
     since = 0
     gates_done = 0
+    n_exec = 0  # remote executions this pass (the r4 wall was ~45k of them)
     next_ckpt = checkpoint_gates or None
     for kind, idx in st.schedule:
+        n_exec += 1
         if kind == "mega":
             arena, digest = fn(arena, digest, delta, BIDX[idx], POS[idx],
                                P32, P8)
             prog.advance(int(st.chunk_gates[idx]))
             gates_done += int(st.chunk_gates[idx])
-            since += chunk
+            # one mega call is ONE queued remote execution — counting it as
+            # `chunk` made the throttle sync after every dispatch, defeating
+            # the pipelining this path exists for (advisor r4).  Workspace
+            # pinned per queued mega execution is bounded by the 250M-gate
+            # checkpoint syncs (~every 4 chunks at B=32).
+            since += 1
         else:
             g = plan.steps[idx]
             if isinstance(g, GroupStep):
@@ -395,5 +539,10 @@ def mega_garble(ex, input_label0s, delta, false_label0, true_label0,
             if checkpoint_fn is not None:
                 checkpoint_fn(gates_done)
             next_ckpt += checkpoint_gates
+    import sys
+
+    print(f"[mega] pass complete: {n_exec} remote executions "
+          f"({st.bidx.shape[0]} mega chunks, {st.n_excluded} residual)",
+          file=sys.stderr, flush=True)
     out = np.asarray(arena[..., plan.output_abs, :])
     return out, arena, np.asarray(digest)

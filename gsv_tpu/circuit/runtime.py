@@ -1427,7 +1427,7 @@ class GroupExecutor:
         return time.perf_counter() - t0
 
     def preload_programs(self, modes=("garble_nocts",), commit: bool = True,
-                         threads: int | None = None) -> float:
+                         threads: int | None = None, only=None) -> float:
         """Warm-execute every distinct group program for ``modes`` up front.
 
         The dispatch loop's first call per program otherwise triggers the
@@ -1461,9 +1461,12 @@ class GroupExecutor:
                 # one warm execution per compiled program = per (shape
                 # signature, S-bucket); content_key is finer (~5x more
                 # units) and adds nothing — executables key on shapes
-                progs.setdefault(
-                    (tape_signature(g.tape), g.header_maps.shape[0]),
-                    (gi, g))
+                k = (tape_signature(g.tape), g.header_maps.shape[0])
+                # `only`: restrict to these (signature, S) keys — the mega
+                # path needs just its residual (excluded) programs warm
+                if only is not None and k not in only:
+                    continue
+                progs.setdefault(k, (gi, g))
         B = self.batch
         A = self.arena_size
         work = list(progs.values())

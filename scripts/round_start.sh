@@ -1,0 +1,35 @@
+#!/bin/bash
+# Round-start runbook as ONE command (VERDICT r4 #6).
+# Usage: bash scripts/round_start.sh [--bench]
+# Cold-start-to-first-checkpoint target: <= 1h (stamp-matched cache: minutes).
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== [1/5] sysctl (XLA:CPU mmap limit)"
+sysctl -w vm.max_map_count=1048576 || true
+
+echo "== [2/5] persistent-cache version stamp"
+python scripts/check_cache_stamp.py || {
+  echo "   (stale cache pruned? rerun with --prune, then expect a cold fill)"
+}
+
+echo "== [3/5] grouped plans (deterministic; ~8 min CPU each when missing)"
+V3=.gplan_k6_uniform_1048576_v3.pkl
+UNI=.gplan_k6_uniform_1048576.pkl
+CMP=.gplan_k6_compressed_uniform_1048576.pkl
+[ -f "$V3" ] || GSV_SEG_V3=1 python scripts/build_gplan.py 6 1048576 "$V3"
+[ -f "$UNI" ] || GSV_SEG_V2=1 python scripts/build_gplan.py 6 1048576 "$UNI"
+[ -f "$CMP" ] || GSV_SEG_V2=1 python scripts/build_gplan.py 6 1048576 "$CMP" --compressed
+
+echo "== [4/5] warm fill: mega program + residuals (headline bench path)"
+# warm-execution through the REAL dispatch path — the only fill that hits
+# the runtime persistent-cache key (docs/perf-model.md, r4)
+python scripts/warm_fill.py 32 "$V3" mega
+
+echo "== [5/5] commit any fresh cache entries"
+git add -f .jit_cache && git commit -m "Warm cache: round-start fill" || true
+
+if [ "${1:-}" = "--bench" ]; then
+  python bench.py
+fi
+echo "round_start done"

@@ -47,8 +47,20 @@ def main() -> None:
     ex = GroupExecutor(gplan, batch=B if B > 1 else None, hasher=hasher)
     dt = ex.preload_constants()
     print(f"constants preloaded in {dt:.0f}s", flush=True)
-    dt = ex.preload_programs(modes=modes)
-    print(f"warm fill complete in {dt:.0f}s ({modes}, hasher={hasher}, B={B})",
+    if "mega" in modes:
+        # mega dispatch: one big scan-over-switch program + residual
+        # per-signature programs only (circuit/mega.py)
+        from gsv_tpu.circuit.mega import preload_mega
+
+        dt = preload_mega(
+            ex,
+            top_k=int(os.environ.get("GSV_MEGA_TOPK", "40")),
+            chunk=int(os.environ.get("GSV_MEGA_CHUNK", "256")),
+        )
+        modes = tuple(m for m in modes if m != "mega")
+    if modes:
+        dt += ex.preload_programs(modes=modes)
+    print(f"warm fill complete in {dt:.0f}s (hasher={hasher}, B={B})",
           flush=True)
 
 

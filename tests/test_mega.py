@@ -78,6 +78,27 @@ def test_mega_matches_sequential(gplan, batch, top_k, chunk):
     assert (np.asarray(want_dig) == np.asarray(got_dig)).all()
 
 
+def test_mega_over_instances_mesh(gplan):
+    """mega x mesh composition: the instance batch sharded over an
+    `instances` mesh must garble to the same digest as single-device mega
+    (and as the sequential executor) — the cut-and-choose DP axis under the
+    superblock dispatch (VERDICT r4 #7)."""
+    import jax
+
+    from gsv_tpu.parallel.sharding import instance_mesh
+
+    n_dev = min(4, len(jax.devices()))
+    B = 2 * n_dev
+    args = _args(B)
+    want, _, want_dig = GroupExecutor(gplan, batch=B).garble(
+        *args, ct_handler=None, commit=True)
+    mesh = instance_mesh(n_dev)
+    ex = GroupExecutor(gplan, batch=B, mesh=mesh)
+    got, _, got_dig = mega_garble(ex, *args, top_k=40, chunk=8)
+    assert (np.asarray(want) == np.asarray(got)).all()
+    assert (np.asarray(want_dig) == np.asarray(got_dig)).all()
+
+
 def test_mega_staging_covers_plan(gplan):
     st = build_mega(gplan, top_k=40, chunk=8)
     n_steps = len(gplan.steps)

@@ -162,6 +162,47 @@ def test_seg_v2_streams_identical(plans, monkeypatch):
     assert lanes(plan_v2) <= lanes(plan_v1)
 
 
+def test_seg_v3_streams_identical(plans, monkeypatch):
+    """GSV_SEG_V3 segmentation + exact-site chunking (the headline bench
+    config) changes only padding/chunk shapes: the garble stream must stay
+    bit-identical to the v1 plan's.  Covers tape._classes_v3 width classes
+    and schedule._chunk_sizes/_site_cost_blocks (advisor r4: zero hermetic
+    coverage on the auto-selected headline path)."""
+    from gsv_tpu.circuit import schedule as sched_mod
+    from gsv_tpu.circuit import tape as tape_mod
+
+    plan_v1, _ = plans
+    *_, stream_v1, _, _, _, _ = _garble_both(plan_v1, schedule_plan(plan_v1))
+
+    monkeypatch.setattr(tape_mod, "SEG_V2", True)
+    monkeypatch.setattr(tape_mod, "SEG_V3", True)
+    monkeypatch.setattr(sched_mod, "_EXACT_SITES", True)
+    tmpl, _ = trace_circuit(_circ, N_IN)
+    plan_v3 = link(Compiler(flatten_max=200).compile(tmpl), N_IN)
+    gplan_v3 = schedule_plan(plan_v3)
+    out_seq, out_grp, s_seq, s_grp, *_ = _garble_both(plan_v3, gplan_v3)
+    assert (out_seq == out_grp).all()
+    assert (s_seq == s_grp).all()
+    assert (np.asarray(s_seq) == np.asarray(stream_v1)).all()
+
+
+def test_chunk_sizes_conserve_sites(plans, monkeypatch):
+    """Exact-site chunking must decompose any (n, cap) into chunks that sum
+    to n, each landing on (or below) a grid bucket <= cap."""
+    from gsv_tpu.circuit import schedule as sched_mod
+    from gsv_tpu.circuit.link import TapeStep
+
+    plan, _ = plans
+    tape0 = next(s.tape for s in plan.steps if isinstance(s, TapeStep))
+    monkeypatch.setattr(sched_mod, "_EXACT_SITES", True)
+    grid = sched_mod._S_GRID
+    for n in (1, 2, 3, 7, 15, 16, 17, 100, 1000, 4095, 4096, 4097, 65537):
+        for cap in (16, 64, 1024):
+            sizes = sched_mod._chunk_sizes(n, cap, grid, tape0, {})
+            assert sum(sizes) == n, (n, cap, sizes)
+            assert all(0 < s <= cap for s in sizes), (n, cap, sizes)
+
+
 @pytest.mark.parametrize("batch", [None, 2])
 def test_garble_evaluate_2pc(plans, batch):
     """Group-locked 2PC roundtrip: device-consumed ciphertexts, matching
