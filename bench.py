@@ -275,9 +275,17 @@ def main() -> None:
             and os.path.exists(".bench_full_ready_pallas_v3")):
         GPLAN = GPLAN_V3
         hasher = "aes_pallas"
+    # word-major arena mega path (fastest measured in-situ layout) once its
+    # own trace/compile fill has landed
+    if ("GSV_GPLAN" not in os.environ and os.path.exists(GPLAN_V3)
+            and os.path.exists(".bench_full_ready_wm_v3")):
+        GPLAN = GPLAN_V3
+        hasher = "aes_wm"
     for a in sys.argv[1:]:
         if a.startswith("--hasher="):
             hasher = a.split("=", 1)[1]
+    if os.environ.get("GSV_HASHER"):
+        hasher = os.environ["GSV_HASHER"]
     # .bench_full_ready is written once the cts-free garble programs are in
     # the persistent cache; without it the full bench would sit in ~1h of
     # cold remote compiles, so fall back to the (cached) fq12 microbench.
@@ -290,7 +298,7 @@ def main() -> None:
     )
     want_full = (
         "--fq12" not in sys.argv
-        and hasher in ("aes", "aes_pallas", "aes_pallas2")
+        and hasher in ("aes", "aes_pallas", "aes_pallas2", "aes_wm")
         and os.path.exists(GPLAN)
         and (os.path.exists(sentinel) or "--full" in sys.argv)
     )
@@ -302,6 +310,8 @@ def main() -> None:
             print(f"full-verifier bench failed ({type(e).__name__}: {e}); "
                   f"falling back to fq12", file=sys.stderr, flush=True)
     if result is None:
+        if hasher == "aes_wm":  # PlanExecutor has no wm path
+            hasher = "aes_pallas"
         result = bench_fq12(B, hasher=hasher)
     print(json.dumps(result))
 

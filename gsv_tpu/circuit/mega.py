@@ -37,7 +37,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from gsv_tpu.circuit.runtime import (
+    _generic_group_jit_wm,
     _group_step_fn,
+    _group_step_fn_wm,
     _pallas_hasher_tag,
     h2d,
     padded_seg_args_group,
@@ -46,6 +48,16 @@ from gsv_tpu.circuit.runtime import (
 from gsv_tpu.circuit.schedule import GroupStep
 
 _MEGA_JITS: dict = {}
+
+
+def _wm_copy():
+    """Jitted copy step on the word-major (4, B, A) arena."""
+    fn = _MEGA_JITS.get("wmcopy")
+    if fn is None:
+        fn = jax.jit(lambda a, s, d: a.at[:, :, d].set(a[:, :, s]),
+                     donate_argnums=(0,))
+        _MEGA_JITS["wmcopy"] = fn
+    return fn
 
 
 def _bucket_pow2(n: int, lo: int = 8) -> int:
@@ -279,8 +291,14 @@ def mega_jit(hasher: str, batch: int | None, layout: tuple, chunk: int):
     fn = _MEGA_JITS.get(key)
     if fn is not None:
         return fn
-    base = _group_step_fn("garble", _pallas_hasher_tag(hasher, batch),
-                          batch, commit=True, emit_cts=False)
+    wm = hasher == "aes_wm"
+    if wm:
+        # word-major arena (4, B, A): batch explicit, no vmap (see the
+        # wm section in runtime.py)
+        base = _group_step_fn_wm(batch, commit=True)
+    else:
+        base = _group_step_fn("garble", _pallas_hasher_tag(hasher, batch),
+                              batch, commit=True, emit_cts=False)
 
     def make_sig_branch(flat, seg_layout):
         ent = dict(flat)
@@ -312,6 +330,8 @@ def mega_jit(hasher: str, batch: int | None, layout: tuple, chunk: int):
         def br(arena, digest, k, P32, P8, delta):
             src = _views(src_ent, P32, P8)[k]
             dst = _views(dst_ent, P32, P8)[k]
+            if wm:
+                return arena.at[:, :, dst].set(arena[:, :, src]), digest
             return arena.at[dst].set(arena[src]), digest
 
         return br
@@ -334,7 +354,7 @@ def mega_jit(hasher: str, batch: int | None, layout: tuple, chunk: int):
             body, (arena, digest), jnp.stack([brow, prow], axis=1))
         return arena, digest
 
-    if batch:
+    if batch and not wm:
         mega = jax.vmap(mega, in_axes=(0, 0, 0, None, None, None, None))
     fn = jax.jit(mega, donate_argnums=(0, 1))
     _MEGA_JITS[key] = fn
@@ -429,19 +449,29 @@ def _mega_stage_dev(ex, top_k: int, chunk: int):
         ex._dev[dkey] = dev
     B = ex.batch
     A = ex.arena_size
-    pre = (B,) if B else ()
+    if ex.hasher == "aes_wm":
+        nb = B or 1
+        ash, vsh = (4, nb, A), (4, nb)
+    else:
+        pre = (B,) if B else ()
+        ash, vsh = pre + (A, 4), pre + (4,)
     shapes = (
-        (pre + (A, 4), "uint32"),      # arena
-        (pre + (4,), "uint32"),        # digest
-        (pre + (4,), "uint32"),        # delta
+        (ash, "uint32"),               # arena
+        (vsh, "uint32"),               # digest
+        (vsh, "uint32"),               # delta
         ((chunk,), "int32"),           # brow
         ((chunk,), "int32"),           # prow
         (st.pool32.shape, "uint32"),   # P32
         (st.pool8.shape, "uint8"),     # P8
     )
     # the trace cache was exported without sharding annotations — under an
-    # instances mesh, fall back to the direct jit (sharded-arg semantics)
-    if ex.mesh is None and os.environ.get("GSV_MEGA_EXPORT", "1") == "1":
+    # instances mesh, fall back to the direct jit (sharded-arg semantics).
+    # Big modules also skip it: jit(deserialized.call) on an ~18MB module
+    # burned >50 min of client CPU before ever reaching the compile service
+    # (r5) — the direct ~11-min retrace is the cheaper path there.
+    max_br = int(os.environ.get("GSV_MEGA_EXPORT_MAX_BRANCHES", "16"))
+    if (ex.mesh is None and os.environ.get("GSV_MEGA_EXPORT", "1") == "1"
+            and len(st.layout) <= max_br):
         fn = mega_exported(ex.hasher, B, st.layout, chunk, shapes)
     else:
         fn = mega_jit(ex.hasher, B, st.layout, chunk)
@@ -465,9 +495,16 @@ def preload_mega(ex, top_k: int = 40, chunk: int = 256,
     P32, P8, BIDX, POS = dev
     B = ex.batch
     A = ex.arena_size
-    arena = jnp.zeros((B, A, 4) if B else (A, 4), jnp.uint32)
-    delta = jnp.zeros((B, 4) if B else (4,), jnp.uint32)
-    digest = jnp.zeros((B, 4) if B else (4,), jnp.uint32)
+    wm = ex.hasher == "aes_wm"
+    nb = B or 1
+    if wm:
+        arena = jnp.zeros((4, nb, A), jnp.uint32)
+        delta = jnp.zeros((4, nb), jnp.uint32)
+        digest = jnp.zeros((4, nb), jnp.uint32)
+    else:
+        arena = jnp.zeros((B, A, 4) if B else (A, 4), jnp.uint32)
+        delta = jnp.zeros((B, 4) if B else (4,), jnp.uint32)
+        digest = jnp.zeros((B, 4) if B else (4,), jnp.uint32)
     if st.bidx.shape[0]:
         arena, digest = fn(arena, digest, delta, BIDX[0], POS[0], P32, P8)
         np.asarray(digest)  # honest: compiled, loaded, executed
@@ -475,7 +512,33 @@ def preload_mega(ex, top_k: int = 40, chunk: int = 256,
           f"({len(st.layout)} branches, {st.bidx.shape[0]} chunks, "
           f"{st.n_excluded} residual dispatches)", flush=True)
     if st.excluded_sigs:
-        ex.preload_programs(modes=modes, only=frozenset(st.excluded_sigs))
+        if wm:
+            # warm the wm residual programs through the same dispatch path
+            # mega_garble uses (there is one distinct program per excluded
+            # (signature, S) — the shared _generic_group_jit_wm jit)
+            from gsv_tpu.circuit.schedule import GroupStep
+
+            seen = set()
+            fnr = _generic_group_jit_wm(ex.batch)
+            for gi, g in enumerate(ex.plan.steps):
+                if not isinstance(g, GroupStep):
+                    continue
+                k = (tape_signature(g.tape), g.header_maps.shape[0])
+                if k not in st.excluded_sigs or k in seen:
+                    continue
+                seen.add(k)
+                segs, oo, meta = ex._seg_dev(g.tape)
+                hm, om, fb, ghi, glo, ct_loc, token, gid = ex._group_dev(
+                    g, gi)
+                arena, digest = fnr(arena, token, hm, om, oo, fb, delta,
+                                    ghi, glo, ct_loc, digest, gid, segs)
+                if len(seen) % 8 == 0:
+                    np.asarray(digest)
+                    print(f"[preload] {len(seen)} wm residual programs "
+                          f"({time.perf_counter()-t0:.0f}s)", flush=True)
+            np.asarray(digest)
+        else:
+            ex.preload_programs(modes=modes, only=frozenset(st.excluded_sigs))
     return time.perf_counter() - t0
 
 
@@ -492,11 +555,22 @@ def mega_garble(ex, input_label0s, delta, false_label0, true_label0,
     P32, P8, BIDX, POS = dev
 
     batched = ex.batch
+    wm = ex.hasher == "aes_wm"
+    nb = batched or 1
     arena = ex._build_arena(false_label0, true_label0, input_label0s)
     delta = ex._shard(np.asarray(delta, dtype=np.uint32))
-    digest = ex._shard(
-        np.zeros((batched, 4) if batched else (4,), np.uint32))
-    nb = batched or 1
+    if wm:
+        # word-major: (B, A, 4) -> (4, B, A), one device transpose per pass
+        if not batched:
+            arena = arena[None]
+            delta = delta[None]
+        arena = jnp.transpose(arena, (2, 0, 1))
+        delta = jnp.transpose(delta, (1, 0))
+        digest = jnp.zeros((4, nb), np.uint32)
+        fnr = _generic_group_jit_wm(batched)
+    else:
+        digest = ex._shard(
+            np.zeros((batched, 4) if batched else (4,), np.uint32))
     prog = ex._progress("garbled")
     max_q = int(os.environ.get("GSV_MAX_QUEUE", "256"))
     since = 0
@@ -519,17 +593,27 @@ def mega_garble(ex, input_label0s, delta, false_label0, true_label0,
         else:
             g = plan.steps[idx]
             if isinstance(g, GroupStep):
-                f2, oo, meta, tail = ex._dispatch(
-                    "garble", True, False, g.tape, g.header_maps.shape[0])
-                hm, om, fb, ghi, glo, ct_loc, token, gid = ex._group_dev(
-                    g, idx)
-                arena, digest = f2(arena, token, hm, om, oo, fb, delta,
-                                   ghi, glo, ct_loc, digest, gid, *tail)
+                if wm:
+                    segs, oo, meta = ex._seg_dev(g.tape)
+                    hm, om, fb, ghi, glo, ct_loc, token, gid = ex._group_dev(
+                        g, idx)
+                    arena, digest = fnr(arena, token, hm, om, oo, fb, delta,
+                                        ghi, glo, ct_loc, digest, gid, segs)
+                else:
+                    f2, oo, meta, tail = ex._dispatch(
+                        "garble", True, False, g.tape, g.header_maps.shape[0])
+                    hm, om, fb, ghi, glo, ct_loc, token, gid = ex._group_dev(
+                        g, idx)
+                    arena, digest = f2(arena, token, hm, om, oo, fb, delta,
+                                       ghi, glo, ct_loc, digest, gid, *tail)
                 prog.advance(g.tape.total_gates * g.n_real)
                 gates_done += g.tape.total_gates * g.n_real
             else:
                 src, dst = ex._copy_dev(g)
-                arena = ex._copy_fn("execute")(arena, src, dst)
+                if wm:
+                    arena = _wm_copy()(arena, src, dst)
+                else:
+                    arena = ex._copy_fn("execute")(arena, src, dst)
             since += 1
         if since >= max_q:
             np.asarray(digest)
@@ -544,5 +628,12 @@ def mega_garble(ex, input_label0s, delta, false_label0, true_label0,
     print(f"[mega] pass complete: {n_exec} remote executions "
           f"({st.bidx.shape[0]} mega chunks, {st.n_excluded} residual)",
           file=sys.stderr, flush=True)
+    if wm:
+        oabs = jnp.asarray(plan.output_abs)
+        out = np.asarray(jnp.transpose(arena[:, :, oabs], (1, 2, 0)))
+        dig = np.asarray(jnp.transpose(digest, (1, 0)))
+        if not batched:
+            out, dig = out[0], dig[0]
+        return out, arena, dig
     out = np.asarray(arena[..., plan.output_abs, :])
     return out, arena, np.asarray(digest)

@@ -845,6 +845,188 @@ def _scatter_outputs_g(arena, header_maps, frame_bases, outputs_maps, out_ops):
     return arena.at[outputs_maps].set(arena[src])
 
 
+# ----------------------------------------------------------------------
+# Word-major ("wm") garble path.  The standard arena is (..., slots, 4):
+# a 4-wide minor dim on a 128-lane machine, so every gather/scatter and
+# the AES feed transpose run at a fraction of line rate (r5 probes:
+# in-situ wave 0.14 B blocks/s row-major vs 0.25 B word-major;
+# scripts/probe_wm_layout.py).  Here the arena is (4, B, slots) — batch
+# INSIDE, slots minor — so gathers are per-word-row 1D gathers, the AES
+# feed (4, B, S, C) -> (4, B*S*C) is a free contiguous reshape into the
+# strided wt layout (ops/aes_pallas.aes_encrypt_wm), and free-XOR waves
+# run on lane-major data.  Labels, ciphertexts and the digest are
+# bit-identical to the standard path (AES is per-block elementwise; the
+# digest fold is associative XOR) — pinned by tests/test_wm.py.
+# Garble-only (the headline cts-free committed pass); hasher "aes_wm".
+# ----------------------------------------------------------------------
+
+
+def _aes_blocks_wm(blocks_wm, min_blocks: int):
+    """Fixed-key AES over word-major (4, n) blocks."""
+    n = blocks_wm.shape[1]
+    if n >= min_blocks:
+        from gsv_tpu.core.hw import tpu_available
+        from gsv_tpu.ops.aes_pallas import aes_encrypt_wm
+
+        return aes_encrypt_wm(blocks_wm, interpret=not tpu_available())
+    # narrow wave: the XLA bitsliced path via an explicit (small) transpose
+    return aes_encrypt_words(blocks_wm.T, xp=jnp).T
+
+
+def _gate_hash2_wm(sel_a, other_a, hi, lo, B: int, min_blocks: int):
+    """Hash both a-labels, word-major: inputs (4, n), tweaks per-lane
+    (n//B per instance, b-major) — mirrors _gate_hash2 exactly."""
+    from gsv_tpu.ops.tweaks import tweak_words_wm
+
+    tw = tweak_words_wm(hi, lo, xp=jnp)  # (4, n/B) per-site lanes
+    n = sel_a.shape[1]
+    lanes = n // B
+    twf = jnp.broadcast_to(tw[:, None, :], (4, B, lanes)).reshape(4, n)
+    blocks = jnp.concatenate([sel_a ^ twf, other_a ^ twf], axis=1)
+    m = blocks.shape[1]
+    padn = (-m) % 32
+    if padn:
+        blocks = jnp.concatenate(
+            [blocks, jnp.zeros((4, padn), jnp.uint32)], axis=1)
+        return _aes_blocks_wm(blocks, min_blocks)[:, :m]
+    return _aes_blocks_wm(blocks, min_blocks)
+
+
+def _digest_update_wm(digest, cts, group_id, B: int, min_blocks: int):
+    """XOR-fold commitment over word-major cts (4, B, rows+1): identical
+    values to _digest_update (same per-row AES, associative XOR fold)."""
+    from gsv_tpu.ops.tweaks import tweak_words_wm
+
+    rows = cts.shape[2] - 1
+    if rows == 0:
+        return digest
+    gids = jnp.full((rows,), group_id, jnp.uint32)
+    idx = jnp.arange(rows, dtype=jnp.uint32)
+    tw = tweak_words_wm(gids, idx, xp=jnp)  # (4, rows)
+    body = cts[:, :, :rows] ^ tw[:, None, :]
+    blocks = body.reshape(4, B * rows)
+    padn = (-(B * rows)) % 32
+    if padn:
+        blocks = jnp.concatenate(
+            [blocks, jnp.zeros((4, padn), jnp.uint32)], axis=1)
+    h = _aes_blocks_wm(blocks, min_blocks)[:, : B * rows].reshape(4, B, rows)
+    fold = jax.lax.reduce(h, jnp.uint32(0), jax.lax.bitwise_xor,
+                          dimensions=(2,))
+    return digest ^ fold
+
+
+def _garble_group_segs_wm(arena, cts, header_maps, frame_bases, delta,
+                          gid_hi, gid_lo, ct_loc, segs, B: int,
+                          min_blocks: int, lane_budget=None):
+    """Half-gates garbling over S sites, word-major arena (4, B, A).
+
+    Mirrors _garble_group_segs_into wave for wave; see that docstring for
+    the ciphertext-buffer layout (here (4, B, S*ctb+1))."""
+    H = header_maps.shape[1]
+    S = header_maps.shape[0]
+    trash_row = cts.shape[2] - 1
+    d1 = delta[:, :, None, None]  # (4, B, 1, 1)
+    for sv in segs:
+        fa, fb, fc = sv["f_a"], sv["f_b"], sv["f_c"]
+        fbm = _m32(sv["f_bmask"])
+        ffl = _m32(sv["f_flip"])
+        na, nb, nc = sv["n_a"], sv["n_b"], sv["n_c"]
+        ngid, nct = sv["n_gid"], sv["n_ct"]
+        aam = _m32(sv["n_aa"])
+        abm = _m32(sv["n_ab"])
+        acm = _m32(sv["n_ac"])
+        n_waves, cf = fa.shape
+        cn = na.shape[1]
+
+        def body(i, carry, fa=fa, fb=fb, fc=fc, fbm=fbm, ffl=ffl, na=na,
+                 nb=nb, nc=nc, ngid=ngid, nct=nct, aam=aam, abm=abm, acm=acm,
+                 cf=cf, cn=cn):
+            arena, cts = carry
+            if cf:
+                ia = _abs_idx_g(_row(fa, i), header_maps, frame_bases, H)
+                ib = _abs_idx_g(_row(fb, i), header_maps, frame_bases, H)
+                a = arena[:, :, ia]  # (4, B, S, cf)
+                b = arena[:, :, ib]
+                mb = _row(fbm, i).reshape(1, 1, 1, -1)
+                mf = _row(ffl, i).reshape(1, 1, 1, -1)
+                out = a ^ (b & mb) ^ (d1 & mf)
+                arena = arena.at[:, :, _dst_idx_g(_row(fc, i), frame_bases)
+                                 ].set(out)
+            if cn:
+                k = _chunk_factor(S, cn, lane_budget)
+
+                def nonfree(na_r, nb_r, nc_r, gid_r, ct_r, aa_r, ab_r, ac_r,
+                            arena, cts, C=cn // k):
+                    ia = _abs_idx_g(na_r, header_maps, frame_bases, H)
+                    ib = _abs_idx_g(nb_r, header_maps, frame_bases, H)
+                    a0 = arena[:, :, ia]  # (4, B, S, C)
+                    b0 = arena[:, :, ib]
+                    maa = aa_r.reshape(1, 1, 1, -1)
+                    mab = ab_r.reshape(1, 1, 1, -1)
+                    mac = ac_r.reshape(1, 1, 1, -1)
+                    sel_a = a0 ^ (d1 & maa)
+                    other_a = sel_a ^ d1
+                    hi, lo = _gid64_g(gid_hi, gid_lo, gid_r)
+                    h = _gate_hash2_wm(
+                        sel_a.reshape(4, B * S * C),
+                        other_a.reshape(4, B * S * C),
+                        hi.reshape(-1), lo.reshape(-1), B, min_blocks,
+                    )
+                    h_sel = h[:, : B * S * C].reshape(4, B, S, C)
+                    h_other = h[:, B * S * C:].reshape(4, B, S, C)
+                    b_sel = b0 ^ (d1 & mab)
+                    ct = h_sel ^ h_other ^ b_sel
+                    w0 = h_sel ^ (d1 & mac)
+                    arena = arena.at[:, :, _dst_idx_g(nc_r, frame_bases)
+                                     ].set(w0)
+                    nr = ct_r[None, :]
+                    idx = jnp.where(nr < 0, trash_row, ct_loc[:, None] + nr)
+                    idx = jnp.minimum(idx, trash_row)
+                    cts = cts.at[:, :, idx].set(ct)
+                    return arena, cts
+
+                if k == 1:
+                    arena, cts = nonfree(
+                        _row(na, i), _row(nb, i), _row(nc, i), _row(ngid, i),
+                        _row(nct, i), _row(aam, i), _row(abm, i), _row(acm, i),
+                        arena, cts,
+                    )
+                else:
+                    C = cn // k
+                    naw = _row(na, i).reshape(k, C)
+                    nbw = _row(nb, i).reshape(k, C)
+                    ncw = _row(nc, i).reshape(k, C)
+                    gidw = _row(ngid, i).reshape(k, C)
+                    nctw = _row(nct, i).reshape(k, C)
+                    aaw = _row(aam, i).reshape(k, C, 1)
+                    abw = _row(abm, i).reshape(k, C, 1)
+                    acw = _row(acm, i).reshape(k, C, 1)
+
+                    def inner(j, carry):
+                        return nonfree(
+                            _row(naw, j), _row(nbw, j), _row(ncw, j),
+                            _row(gidw, j), _row(nctw, j), _row(aaw, j),
+                            _row(abw, j), _row(acw, j), *carry,
+                        )
+
+                    arena, cts = jax.lax.fori_loop(0, k, inner, (arena, cts))
+            return arena, cts
+
+        if n_waves == 1:
+            arena, cts = body(0, (arena, cts))
+        else:
+            arena, cts = jax.lax.fori_loop(0, n_waves, body, (arena, cts))
+    return arena, cts
+
+
+def _scatter_outputs_g_wm(arena, header_maps, frame_bases, outputs_maps,
+                          out_ops):
+    if out_ops.shape[0] == 0:
+        return arena
+    src = _abs_idx_g(out_ops, header_maps, frame_bases, header_maps.shape[1])
+    return arena.at[:, :, outputs_maps].set(arena[:, :, src])
+
+
 def _digest_update(digest, cts, group_id, hasher="aes"):
     """TPU-native streaming commitment: XOR-accumulate fixed-key AES over
     position-tweaked ciphertext rows (tweak = (group_id, row)).  Replaces the
@@ -954,6 +1136,18 @@ def _generic_jit(mode: str, hasher: str, batch: int | None):
 _GROUP_JITS: dict = {}
 
 
+def _generic_group_jit_wm(batch: int | None):
+    """Jitted standalone word-major garble-nocts group program (used by
+    mega_garble for residual excluded-signature dispatches)."""
+    key = ("garble_wm", batch)
+    fn = _GROUP_JITS.get(key)
+    if fn is None:
+        step = _group_step_fn_wm(batch, commit=True)
+        fn = jax.jit(step, donate_argnums=(0, 10))
+        _GROUP_JITS[key] = fn
+    return fn
+
+
 def _packed_group_jit(mode: str, hasher: str, batch: int | None, commit: bool,
                       emit_cts: bool, layout):
     """Packed-segs variant of ``_generic_group_jit``: the ~14-arrays-per-
@@ -1016,6 +1210,34 @@ def _packed_group_jit(mode: str, hasher: str, batch: int | None, commit: bool,
 
     _GROUP_JITS[key] = fn
     return fn
+
+
+def _group_step_fn_wm(batch: int | None, commit: bool = True):
+    """Word-major garble-nocts group step (see _garble_group_segs_wm).
+
+    Takes/returns the arena as (4, B, A) with batch explicit (no vmap);
+    call signature otherwise mirrors the garble step: (arena, ct_token,
+    header_maps, outputs_maps, out_ops, frame_bases, delta(4,B), gid_hi,
+    gid_lo, ct_loc, digest(4,B), group_id, segs)."""
+    B = batch or 1
+    lane_budget = max(1, _LANE_BUDGET // B)
+    min_blocks = _PALLAS_MIN_BLOCKS
+
+    def step(arena, ct_token, header_maps, outputs_maps, out_ops,
+             frame_bases, delta, gid_hi, gid_lo, ct_loc, digest,
+             group_id, segs):
+        tr = ct_token.shape[0]
+        cts = jnp.zeros((4, B, tr), jnp.uint32)
+        arena, cts = _garble_group_segs_wm(
+            arena, cts, header_maps, frame_bases, delta, gid_hi, gid_lo,
+            ct_loc, segs, B, min_blocks, lane_budget=lane_budget)
+        arena = _scatter_outputs_g_wm(arena, header_maps, frame_bases,
+                                      outputs_maps, out_ops)
+        if commit:
+            digest = _digest_update_wm(digest, cts, group_id, B, min_blocks)
+        return arena, digest
+
+    return step
 
 
 def _group_step_fn(mode: str, hasher: str, batch: int | None, commit: bool,
@@ -1179,7 +1401,8 @@ class GroupExecutor:
         two plans (e.g. the uniform and compressed verifiers) at one shared
         arena size lets them reuse each other's compiled group programs for
         every (tape signature, S-bucket) they have in common."""
-        assert hasher in ("aes", "aes_pallas", "aes_pallas2", "blake3")
+        assert hasher in ("aes", "aes_pallas", "aes_pallas2", "aes_wm",
+                          "blake3")
         self.plan = gplan
         self.batch = batch
         self.hasher = hasher

@@ -45,15 +45,48 @@ def enable_if_tpu() -> bool:
         return False
 
 
+def _host_sig() -> str:
+    """CPU-feature fingerprint: XLA:CPU artifacts embed host features, so a
+    committed cache must refuse to load on a different machine type."""
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+    except Exception:
+        pass
+    return hashlib.sha256((platform.machine() + flags).encode()).hexdigest()[:16]
+
+
 def enable_cpu() -> bool:
-    """Same-machine persistent cache for the XLA:CPU backend (see module
-    docstring for why this must never be shared across machines)."""
+    """Same-machine persistent cache for the XLA:CPU backend.
+
+    Safe to commit to git: a host-signature stamp (``HOST.json``) is
+    checked first, and on any other machine type the cache is simply not
+    enabled (cold compiles, no poisoning) — the observed cross-machine
+    failure mode was a hard ``+prefer-no-scatter`` feature mismatch."""
+    import json
+
     import jax
 
     try:
         if jax.default_backend() != "cpu":
             return False
         os.makedirs(CPU_CACHE_DIR, exist_ok=True)
+        stamp = os.path.join(CPU_CACHE_DIR, "HOST.json")
+        sig = _host_sig()
+        if os.path.exists(stamp):
+            with open(stamp) as fh:
+                if json.load(fh).get("host_sig") != sig:
+                    return False  # foreign machine: leave the cache alone
+        else:
+            with open(stamp, "w") as fh:
+                json.dump({"host_sig": sig}, fh)
         jax.config.update("jax_compilation_cache_dir", CPU_CACHE_DIR)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
         return True

@@ -370,3 +370,27 @@ def aes_encrypt_words_pallas_batched(blocks, interpret=False, version=1):
     ``version=2`` selects the fully fused kernel (in-kernel layout
     transpose, the ``aes_pallas2`` executor hasher)."""
     return _WORDS_CV[(bool(interpret), version)](blocks)
+
+
+def aes_encrypt_wm(blocks_wm, interpret=False):
+    """Fixed-key AES-128 over WORD-MAJOR blocks: (4, n) -> (4, n).
+
+    The word-major arena path's hasher: (4, n) reshapes to the fused
+    kernel's (4, 32, m) with STRIDED lane packing (lane g holds blocks
+    {g, m+g, 2m+g, ...}) — a free contiguous reshape, killing the XLA-side
+    layout transpose that costs the row-major path 2.3x (r4/r5 probes).
+    AES is per-block elementwise, so lane assignment is bit-identical as
+    long as pack and unpack share the convention (they are the same
+    reshape).  n must be a multiple of 32 (callers pad)."""
+    n = blocks_wm.shape[1]
+    if n % 32 != 0:
+        raise ValueError("block count must be a multiple of 32 (pad first)")
+    m = n // 32
+    pad = (-m) % _lane_tile(m)
+    wt = blocks_wm.reshape(4, 32, m)
+    if pad:
+        wt = jnp.pad(wt, ((0, 0), (0, 0), (0, pad)))
+    out = _aes_wt_pallas(wt, interpret=interpret)
+    if pad:
+        out = out[..., :m]
+    return out.reshape(4, n)

@@ -88,6 +88,27 @@ def tweak_words(gid_hi, gid_lo, xp=np):
     )
 
 
+def tweak_words_wm(gid_hi, gid_lo, xp=np):
+    """Word-major tweak masks: (hi, lo) uint32 arrays -> (4, n) uint32.
+
+    Same per-block values as ``tweak_words`` (word axis leading instead of
+    trailing) — the layout the word-major arena path hashes in."""
+    t0_hi = gid_hi ^ K_XOR_HI
+    t0_lo = gid_lo ^ K_XOR_LO
+    t1_hi, t1_lo = mul64_lo(
+        gid_hi, gid_lo, xp.uint32(K_MUL_HI), xp.uint32(K_MUL_LO), xp=xp
+    )
+    return xp.stack(
+        [
+            bswap32(t0_lo, xp=xp),
+            bswap32(t0_hi, xp=xp),
+            bswap32(t1_lo, xp=xp),
+            bswap32(t1_hi, xp=xp),
+        ],
+        axis=0,
+    )
+
+
 def split64(vals) -> tuple[np.ndarray, np.ndarray]:
     """Python ints / int64 array -> (hi, lo) uint32 arrays (host helper)."""
     arr = np.asarray(vals, dtype=np.uint64)

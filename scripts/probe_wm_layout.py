@@ -48,10 +48,20 @@ def main() -> None:
     A = 420_628  # r1 full-verifier arena size
 
     rng = np.random.default_rng(0)
-    # per-wave gather/scatter indices (shared across instances, as in prod)
-    IDXA = rng.integers(0, A, size=(waves, n), dtype=np.int32)
-    IDXB = rng.integers(0, A, size=(waves, n), dtype=np.int32)
-    IDXC = rng.integers(0, A, size=(waves, n), dtype=np.int32)
+    # per-wave gather/scatter indices (shared across instances, as in prod).
+    # --seq: contiguous ranges (the linear-scan allocator's common case) —
+    # isolates AES cost from random-gather cost.
+    if "--seq" in sys.argv:
+        base = rng.integers(0, A - n, size=(waves, 3))
+        IDXA = (base[:, 0, None] + np.arange(n)).astype(np.int32)
+        IDXB = (base[:, 1, None] + np.arange(n)).astype(np.int32)
+        IDXC = (base[:, 2, None] + np.arange(n)).astype(np.int32)
+    else:
+        IDXA = rng.integers(0, A, size=(waves, n), dtype=np.int32)
+        IDXB = rng.integers(0, A, size=(waves, n), dtype=np.int32)
+        # scatter targets are genuinely unique per wave (as in real tapes)
+        IDXC = np.stack([rng.permutation(A)[:n] for _ in range(waves)]
+                        ).astype(np.int32)
 
     def hash_row(blocks):  # row-major (nb, 4) -> (nb, 4), fused kernel
         return aes_encrypt_words_fused(blocks, interpret=interp)
@@ -109,6 +119,115 @@ def main() -> None:
             arena = wave_w(arena, delta, IDXA[w], IDXB[w], IDXC[w])
         return arena, arena[:, :, 0]
 
+    # ---- variant S: slot-major arena (A, B, 4) -------------------------
+    # each gathered row is B*16 = 512 CONTIGUOUS bytes (vs 16B in the
+    # row-major layout) — the granularity TPU gathers like; AES feed is a
+    # (n*B, 4) reshape of the gathered (n, B, 4) block (free, row-major)
+    def wave_s(arena, delta, ia, ib, ic):
+        a0 = arena[ia]               # (n, B, 4)
+        b0 = arena[ib]
+        d1 = delta[None, :, :]
+        sel = a0 ^ d1
+        blocks = jnp.concatenate([sel, sel ^ d1], axis=0).reshape(-1, 4)
+        h = hash_row(blocks).reshape(2 * n, B, 4)
+        w0 = h[:n] ^ (h[n:] ^ b0)
+        arena = arena.at[ic].set(w0)
+        return arena
+
+    def pass_s(arena, delta):
+        for w in range(waves):
+            arena = wave_s(arena, delta, IDXA[w], IDXB[w], IDXC[w])
+        return arena, arena[0]
+
+    def mk_s():
+        return (jnp.asarray(rng.integers(0, 2**32, (A, B, 4), dtype=np.uint32)),
+                jnp.asarray(rng.integers(0, 2**32, (B, 4), dtype=np.uint32)))
+
+    # ---- scatter-semantics variants: XLA emits a slow duplicate-safe
+    # scatter unless told indices are unique and in bounds; real tapes
+    # write distinct slots per wave, so the production path can promise
+    # both.  Same for the bounds mask on gathers.
+    def pass_r0u(arena, delta):
+        for w in range(waves):
+            a0 = arena[:, IDXA[w]]
+            b0 = arena[:, IDXB[w]]
+            d1 = delta[:, None, :]
+            w0 = (a0 ^ d1) ^ b0
+            arena = jax.vmap(
+                lambda ar, wv, ic=IDXC[w]: ar.at[ic].set(
+                    wv, unique_indices=True, mode="promise_in_bounds"))(
+                arena, w0)
+        return arena, arena[:, 0]
+
+    def pass_rg(arena, delta):  # gathers only, one scatter at the end
+        acc = jnp.zeros((B, n, 4), jnp.uint32)
+        for w in range(waves):
+            a0 = arena[:, IDXA[w]]
+            b0 = arena[:, IDXB[w]]
+            acc = acc ^ a0 ^ b0
+        arena = jax.vmap(
+            lambda ar, wv: ar.at[IDXC[0]].set(
+                wv, unique_indices=True, mode="promise_in_bounds"))(
+            arena, acc)
+        return arena, arena[:, 0]
+
+    # ---- formulation variants: what exactly makes the gather slow? -----
+    # flat absolute indices (B*n,) over a (B*A, 4) arena: no batch dims in
+    # the gather at all (index arithmetic runs on device — cheap vs the
+    # gather itself)
+    def pass_f0(arena, delta):  # arena (B*A, 4), no AES
+        d = jnp.repeat(delta, n, axis=0)  # (B*n, 4)
+        boff = (jnp.arange(B, dtype=jnp.int32) * A)[:, None]
+
+        def flat(idx):
+            return (boff + jnp.asarray(idx)[None, :]).reshape(-1)
+
+        for w in range(waves):
+            a0 = arena[flat(IDXA[w])]
+            b0 = arena[flat(IDXB[w])]
+            w0 = (a0 ^ d) ^ b0
+            arena = arena.at[flat(IDXC[w])].set(
+                w0, unique_indices=True, mode="promise_in_bounds")
+        return arena, arena[0]
+
+    def mk_f():
+        return (jnp.asarray(
+            rng.integers(0, 2**32, (B * A, 4), dtype=np.uint32)),
+            jnp.asarray(rng.integers(0, 2**32, (B, 4), dtype=np.uint32)))
+
+    # contiguous dynamic-slice read/write ceiling (no gather at all)
+    BASES = rng.integers(0, A - n, size=(waves, 3))
+
+    def pass_dsl(arena, delta):
+        import jax.lax as lax
+
+        d1 = delta[:, None, :]
+        for w in range(waves):
+            a0 = lax.dynamic_slice(arena, (0, BASES[w][0], 0), (B, n, 4))
+            b0 = lax.dynamic_slice(arena, (0, BASES[w][1], 0), (B, n, 4))
+            w0 = (a0 ^ d1) ^ b0
+            arena = lax.dynamic_update_slice(arena, w0, (0, BASES[w][2], 0))
+        return arena, arena[:, 0]
+
+    # ---- identity-hash variants: pure gather/xor/scatter ceiling -------
+    def pass_r0(arena, delta):
+        for w in range(waves):
+            a0 = arena[:, IDXA[w]]
+            b0 = arena[:, IDXB[w]]
+            d1 = delta[:, None, :]
+            w0 = (a0 ^ d1) ^ b0
+            arena = jax.vmap(lambda ar, wv, ic=IDXC[w]: ar.at[ic].set(wv))(
+                arena, w0)
+        return arena, arena[:, 0]
+
+    def pass_s0(arena, delta):
+        for w in range(waves):
+            a0 = arena[IDXA[w]]
+            b0 = arena[IDXB[w]]
+            w0 = (a0 ^ delta[None]) ^ b0
+            arena = arena.at[IDXC[w]].set(w0)
+        return arena, arena[0]
+
     # ---- run ----------------------------------------------------------
     blocks_per_pass = 2 * n * B * waves
 
@@ -139,6 +258,13 @@ def main() -> None:
           flush=True)
     bench("row-major + words_fused", pass_r, mk_r)
     bench("word-major + wt-direct ", pass_w, mk_w)
+    bench("slot-major + words_fused", pass_s, mk_s)
+    bench("row-major, no AES      ", pass_r0, mk_r)
+    bench("slot-major, no AES     ", pass_s0, mk_s)
+    bench("row-major, no AES, uniq", pass_r0u, mk_r)
+    bench("row-major, gathers only", pass_rg, mk_r)
+    bench("flat-idx,  no AES, uniq", pass_f0, mk_f)
+    bench("dyn-slice slab ceiling ", pass_dsl, mk_r)
 
 
 if __name__ == "__main__":
