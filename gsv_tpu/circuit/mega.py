@@ -6,8 +6,8 @@ measured ~50-65M gates/s with compute floors ~10x higher (docs/perf-model.md
 "Dispatch overhead, not AES").  TPU-native fix: fold runs of group dispatches
 into ONE jitted program — ``lax.scan`` over a step sequence whose body is a
 ``lax.switch`` across the plan's hot tape signatures, with every per-step
-constant staged in two flat device pools addressed by compile-time layout
-(the ``pack_seg_args`` trick, applied to the whole plan).
+constant staged in per-branch device arrays passed as program arguments
+and indexed by the scan position (see MegaStaging for why NOT one pool).
 
 The branch set covers the top-K signatures by dispatch count (top-40 cover
 98.7% of v3-plan dispatches) plus pow2-bucketed copy branches and a no-op
@@ -69,13 +69,20 @@ def _bucket_pow2(n: int, lo: int = 8) -> int:
 
 @dataclass
 class MegaStaging:
-    """Host-side staging of a plan for mega dispatch (see build_mega)."""
+    """Host-side staging of a plan for mega dispatch (see build_mega).
 
-    layout: tuple  # static, hashable — closed into the jit program
-    pool32: np.ndarray  # flat uint32: maps, seg int32/uint32 leaves, copies
-    pool8: np.ndarray  # flat uint8: seg uint8 leaves
+    Per-branch constants are SEPARATE arrays passed as program arguments
+    (``arrays``, flat in layout order) — NOT packed into one flat pool.
+    r5 lesson: with two flat pools, XLA merged the per-branch slice views
+    into one synthesized gather over the whole pool reshaped to a
+    2-element-minor shape, whose (8,128) tiling padded 2 -> 128 lanes and
+    blew buffer assignment (36.8GB for a 575MB pool).  Distinct parameters
+    cannot be merged across branches."""
+
+    layout: tuple  # static spec (shapes/dtypes/meta), hashable — jit key
+    arrays: list  # per-branch host arrays, flat, in layout walk order
     bidx: np.ndarray  # (n_chunks, chunk) int32 branch id per scan step
-    pos: np.ndarray  # (n_chunks, chunk) int32 index into the branch's pools
+    pos: np.ndarray  # (n_chunks, chunk) int32 index into the branch's arrays
     chunk_gates: np.ndarray  # (n_chunks,) int64 aggregate gates per chunk
     # plan walk: interleaved ("mega", chunk_id) / ("step", plan_index)
     schedule: list = field(default_factory=list)
@@ -178,24 +185,15 @@ def build_mega(plan, top_k: int = 40, chunk: int = 256) -> MegaStaging:
             steps_branch[gi] = copy_sid[L]
             steps_pos[gi] = n
 
-    # -- pack everything into flat pools with a static layout ------------
-    p32, p8 = [], []
-    off32 = off8 = 0
+    # -- per-branch argument arrays with a static layout spec ------------
+    # (separate parameters, deliberately NOT one flat pool — see
+    # MegaStaging docstring)
+    arrays: list = []
 
     def put(arr):
-        nonlocal off32, off8
         arr = np.ascontiguousarray(arr)
-        if arr.dtype == np.uint8:
-            p8.append(arr.ravel())
-            ent = ("u8", off8, arr.shape)
-            off8 += arr.size
-        else:
-            tag = {np.dtype(np.int32): "i32",
-                   np.dtype(np.uint32): "u32"}[arr.dtype]
-            p32.append(arr.view(np.uint32).ravel())
-            ent = (tag, off32, arr.shape)
-            off32 += arr.size
-        return ent
+        arrays.append(arr)
+        return (len(arrays) - 1, arr.shape, arr.dtype.name)
 
     layout = []
     for k in hot:
@@ -229,9 +227,6 @@ def build_mega(plan, top_k: int = 40, chunk: int = 256) -> MegaStaging:
         layout.append(("copy",
                        put(np.stack(b["src"])), put(np.stack(b["dst"]))))
 
-    pool32 = np.concatenate(p32) if p32 else np.zeros(1, np.uint32)
-    pool8 = np.concatenate(p8) if p8 else np.zeros(1, np.uint8)
-
     # -- chunk the covered runs ------------------------------------------
     bidx_rows, pos_rows, gate_rows, schedule = [], [], [], []
     i, n = 0, len(plan.steps)
@@ -259,8 +254,7 @@ def build_mega(plan, top_k: int = 40, chunk: int = 256) -> MegaStaging:
     return MegaStaging(
         excluded_sigs=excluded_sigs,
         layout=tuple(layout),
-        pool32=pool32,
-        pool8=pool8,
+        arrays=arrays,
         bidx=np.stack(bidx_rows) if bidx_rows else np.zeros((0, chunk), np.int32),
         pos=np.stack(pos_rows) if pos_rows else np.zeros((0, chunk), np.int32),
         chunk_gates=np.asarray(gate_rows, np.int64),
@@ -270,16 +264,10 @@ def build_mega(plan, top_k: int = 40, chunk: int = 256) -> MegaStaging:
     )
 
 
-def _views(layout_ent, P32, P8):
-    """Traced views of one pooled array from its static layout entry."""
-    tag, off, shape = layout_ent
-    n = int(math.prod(shape))
-    if tag == "u8":
-        return lax.slice(P8, (off,), (off + n,)).reshape(shape)
-    v = lax.slice(P32, (off,), (off + n,)).reshape(shape)
-    if tag == "i32":
-        v = lax.bitcast_convert_type(v, jnp.int32)
-    return v
+def _arg(layout_ent, arrs):
+    """The argument array a static layout entry refers to."""
+    pos, _shape, _dt = layout_ent
+    return arrs[pos]
 
 
 def mega_jit(hasher: str, batch: int | None, layout: tuple, chunk: int):
@@ -303,22 +291,21 @@ def mega_jit(hasher: str, batch: int | None, layout: tuple, chunk: int):
     def make_sig_branch(flat, seg_layout):
         ent = dict(flat)
 
-        def br(arena, digest, k, P32, P8, delta):
-            g32 = lambda f: _views(ent[f], P32, P8)  # noqa: E731
-            hm = g32("hm")[k]
-            om = g32("om")[k]
-            fb = g32("fb")[k]
-            ghi = g32("ghi")[k]
-            glo = g32("glo")[k]
-            ctl = g32("ctl")[k]
-            gid = g32("gid")[k]
-            cid = g32("cidx")[k]
-            oo_pool = g32("oo")
-            oo = oo_pool[cid] if ent["n_out"] else \
+        def br(arena, digest, k, delta, *arrs):
+            g = lambda f: _arg(ent[f], arrs)  # noqa: E731
+            hm = g("hm")[k]
+            om = g("om")[k]
+            fb = g("fb")[k]
+            ghi = g("ghi")[k]
+            glo = g("glo")[k]
+            ctl = g("ctl")[k]
+            gid = g("gid")[k]
+            cid = g("cidx")[k]
+            oo = g("oo")[cid] if ent["n_out"] else \
                 jnp.zeros((0,), jnp.int32)
             segs = []
             for seg_l in seg_layout:
-                segs.append({f: _views(le, P32, P8)[cid] for f, le in seg_l})
+                segs.append({f: _arg(le, arrs)[cid] for f, le in seg_l})
             tr = ent["S"] * ent["ctb"]
             token = jnp.zeros((tr + 1, 0), jnp.uint32)
             return base(arena, token, hm, om, oo, fb, delta, ghi, glo,
@@ -327,27 +314,27 @@ def mega_jit(hasher: str, batch: int | None, layout: tuple, chunk: int):
         return br
 
     def make_copy_branch(src_ent, dst_ent):
-        def br(arena, digest, k, P32, P8, delta):
-            src = _views(src_ent, P32, P8)[k]
-            dst = _views(dst_ent, P32, P8)[k]
+        def br(arena, digest, k, delta, *arrs):
+            src = _arg(src_ent, arrs)[k]
+            dst = _arg(dst_ent, arrs)[k]
             if wm:
                 return arena.at[:, :, dst].set(arena[:, :, src]), digest
             return arena.at[dst].set(arena[src]), digest
 
         return br
 
-    branches = [lambda arena, digest, k, P32, P8, delta: (arena, digest)]
+    branches = [lambda arena, digest, k, delta, *arrs: (arena, digest)]
     for ent in layout:
         if ent[0] == "sig":
             branches.append(make_sig_branch(ent[1], ent[2]))
         else:
             branches.append(make_copy_branch(ent[1], ent[2]))
 
-    def mega(arena, digest, delta, brow, prow, P32, P8):
+    def mega(arena, digest, delta, brow, prow, *arrs):
         def body(carry, x):
             a, d = carry
             a, d = lax.switch(
-                x[0], branches, a, d, x[1], P32, P8, delta)
+                x[0], branches, a, d, x[1], delta, *arrs)
             return (a, d), None
 
         (arena, digest), _ = lax.scan(
@@ -355,10 +342,27 @@ def mega_jit(hasher: str, batch: int | None, layout: tuple, chunk: int):
         return arena, digest
 
     if batch and not wm:
-        mega = jax.vmap(mega, in_axes=(0, 0, 0, None, None, None, None))
+        n_arrs = _n_arrays(layout)
+        mega = jax.vmap(mega, in_axes=(0, 0, 0) + (None,) * (2 + n_arrs))
     fn = jax.jit(mega, donate_argnums=(0, 1))
     _MEGA_JITS[key] = fn
     return fn
+
+
+def _n_arrays(layout) -> int:
+    """Number of per-branch argument arrays a layout references."""
+    hi = -1
+    for ent in layout:
+        if ent[0] == "sig":
+            for _f, v in ent[1]:
+                if isinstance(v, tuple) and len(v) == 3:
+                    hi = max(hi, v[0])
+            for seg_l in ent[2]:
+                for _f, v in seg_l:
+                    hi = max(hi, v[0])
+        else:
+            hi = max(hi, ent[1][0], ent[2][0])
+    return hi + 1
 
 
 # ----------------------------------------------------------------------
@@ -372,7 +376,7 @@ def mega_jit(hasher: str, batch: int | None, layout: tuple, chunk: int):
 # ----------------------------------------------------------------------
 
 # bump when the traced program semantics change (invalidates trace cache)
-_MEGA_CODE_VERSION = 1
+_MEGA_CODE_VERSION = 2  # v2: per-branch argument arrays, no pools
 _MEGA_CACHE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     ".mega_cache")
@@ -393,7 +397,7 @@ def mega_exported(hasher, batch, layout, chunk, shapes):
     """Jitted mega program via the on-disk trace cache.
 
     ``shapes``: tuple of (shape, dtype-name) pairs for the 7 call args
-    (arena, digest, delta, brow, prow, P32, P8).  Both the cache-miss and
+    (arena, digest, delta, brow, prow, *arrays).  Both the cache-miss and
     cache-hit paths return ``jit(deserialized.call)`` so every process
     compiles the byte-identical StableHLO module — one persistent-cache
     entry serves all runs (an Exported traced here and a fresh jit of the
@@ -445,7 +449,7 @@ def _mega_stage_dev(ex, top_k: int, chunk: int):
     dkey = ("megadev", top_k, chunk)
     dev = ex._dev.get(dkey)
     if dev is None:
-        dev = (h2d(st.pool32), h2d(st.pool8), h2d(st.bidx), h2d(st.pos))
+        dev = (tuple(h2d(a) for a in st.arrays), h2d(st.bidx), h2d(st.pos))
         ex._dev[dkey] = dev
     B = ex.batch
     A = ex.arena_size
@@ -461,9 +465,7 @@ def _mega_stage_dev(ex, top_k: int, chunk: int):
         (vsh, "uint32"),               # delta
         ((chunk,), "int32"),           # brow
         ((chunk,), "int32"),           # prow
-        (st.pool32.shape, "uint32"),   # P32
-        (st.pool8.shape, "uint8"),     # P8
-    )
+    ) + tuple((a.shape, a.dtype.name) for a in st.arrays)
     # the trace cache was exported without sharding annotations — under an
     # instances mesh, fall back to the direct jit (sharded-arg semantics).
     # Big modules also skip it: jit(deserialized.call) on an ~18MB module
@@ -492,7 +494,7 @@ def preload_mega(ex, top_k: int = 40, chunk: int = 256,
 
     t0 = time.perf_counter()
     st, dev, fn = _mega_stage_dev(ex, top_k, chunk)
-    P32, P8, BIDX, POS = dev
+    ARRS, BIDX, POS = dev
     B = ex.batch
     A = ex.arena_size
     wm = ex.hasher == "aes_wm"
@@ -506,7 +508,7 @@ def preload_mega(ex, top_k: int = 40, chunk: int = 256,
         delta = jnp.zeros((B, 4) if B else (4,), jnp.uint32)
         digest = jnp.zeros((B, 4) if B else (4,), jnp.uint32)
     if st.bidx.shape[0]:
-        arena, digest = fn(arena, digest, delta, BIDX[0], POS[0], P32, P8)
+        arena, digest = fn(arena, digest, delta, BIDX[0], POS[0], *ARRS)
         np.asarray(digest)  # honest: compiled, loaded, executed
     print(f"[preload] mega program ready in {time.perf_counter()-t0:.0f}s "
           f"({len(st.layout)} branches, {st.bidx.shape[0]} chunks, "
@@ -552,7 +554,7 @@ def mega_garble(ex, input_label0s, delta, false_label0, true_label0,
     """
     plan = ex.plan
     st, dev, fn = _mega_stage_dev(ex, top_k, chunk)
-    P32, P8, BIDX, POS = dev
+    ARRS, BIDX, POS = dev
 
     batched = ex.batch
     wm = ex.hasher == "aes_wm"
@@ -581,7 +583,7 @@ def mega_garble(ex, input_label0s, delta, false_label0, true_label0,
         n_exec += 1
         if kind == "mega":
             arena, digest = fn(arena, digest, delta, BIDX[idx], POS[idx],
-                               P32, P8)
+                               *ARRS)
             prog.advance(int(st.chunk_gates[idx]))
             gates_done += int(st.chunk_gates[idx])
             # one mega call is ONE queued remote execution — counting it as

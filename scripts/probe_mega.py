@@ -57,7 +57,7 @@ def main() -> None:
         f"({st.n_excluded} excluded steps), "
         f"{st.n_branch_steps} covered steps, {pad} no-op padding "
         f"({100*pad/max(1, n_mega*chunk):.1f}%), "
-        f"pool32={st.pool32.nbytes/1e6:.0f}MB pool8={st.pool8.nbytes/1e6:.0f}MB, "
+        f"args={sum(a.nbytes for a in st.arrays)/1e6:.0f}MB in {len(st.arrays)} arrays, "
         f"total executions/pass={n_mega + n_steps_sched}",
         flush=True,
     )
@@ -78,16 +78,22 @@ def main() -> None:
     ex._dev[("megastage", top_k, chunk)] = st
     t0 = time.time()
     st, dev, fn = _mega_stage_dev(ex, top_k, chunk)
-    P32, P8, BIDX, POS = dev
+    ARRS, BIDX, POS = dev
     print(f"pools uploaded in {time.time()-t0:.0f}s", flush=True)
 
     A = ex.arena_size
-    Bsh = (B, A, 4) if B > 1 else (A, 4)
-    arena = jnp.zeros(Bsh, jnp.uint32)
-    delta = jnp.zeros(Bsh[:-2] + (4,), jnp.uint32)
-    digest = jnp.zeros(Bsh[:-2] + (4,), jnp.uint32)
+    if hasher == "aes_wm":
+        nb = B if B > 1 else 1
+        arena = jnp.zeros((4, nb, A), jnp.uint32)
+        delta = jnp.zeros((4, nb), jnp.uint32)
+        digest = jnp.zeros((4, nb), jnp.uint32)
+    else:
+        Bsh = (B, A, 4) if B > 1 else (A, 4)
+        arena = jnp.zeros(Bsh, jnp.uint32)
+        delta = jnp.zeros(Bsh[:-2] + (4,), jnp.uint32)
+        digest = jnp.zeros(Bsh[:-2] + (4,), jnp.uint32)
     t0 = time.time()
-    arena, digest = fn(arena, digest, delta, BIDX[0], POS[0], P32, P8)
+    arena, digest = fn(arena, digest, delta, BIDX[0], POS[0], *ARRS)
     np.asarray(digest)
     print(f"first chunk (compile+load+exec) in {time.time()-t0:.0f}s",
           flush=True)
@@ -96,7 +102,7 @@ def main() -> None:
     gates = int(st.chunk_gates[:n_time].sum()) * (B if B > 1 else 1)
     t0 = time.time()
     for i in range(n_time):
-        arena, digest = fn(arena, digest, delta, BIDX[i], POS[i], P32, P8)
+        arena, digest = fn(arena, digest, delta, BIDX[i], POS[i], *ARRS)
     np.asarray(digest)
     dt = time.time() - t0
     print(
