@@ -78,7 +78,9 @@ def bench_full(B: int, hasher: str = "aes") -> dict:
     if mega:
         from gsv_tpu.circuit.mega import mega_garble, preload_mega
 
-        top_k = int(os.environ.get("GSV_MEGA_TOPK", "40"))
+        # 24 = the largest branch count the remote compile helper survives
+        # (r5: 33-branch/13.5MB module compiles; 41-branch/18MB SIGKILLs)
+        top_k = int(os.environ.get("GSV_MEGA_TOPK", "24"))
         chunk = int(os.environ.get("GSV_MEGA_CHUNK", "256"))
         prew = preload_mega(ex, top_k=top_k, chunk=chunk)
         print(f"[bench] mega + residual programs ready in {prew:.0f}s",

@@ -54,7 +54,7 @@ def _wm_copy():
     """Jitted copy step on the word-major (4, B, A) arena."""
     fn = _MEGA_JITS.get("wmcopy")
     if fn is None:
-        fn = jax.jit(lambda a, s, d: a.at[:, :, d].set(a[:, :, s]),
+        fn = jax.jit(lambda a, s, d: a.at[:, d].set(a[:, s]),
                      donate_argnums=(0,))
         _MEGA_JITS["wmcopy"] = fn
     return fn
@@ -199,9 +199,20 @@ def build_mega(plan, top_k: int = 40, chunk: int = 256) -> MegaStaging:
     for k in hot:
         m = maps[k]
         segs_np, oo_np, meta = seg_meta[k]
-        ent = {f: put(np.stack(m[f]).astype(
-            np.uint32 if f in ("ghi", "glo", "gid") else np.int32))
-            for f in ("hm", "om", "fb", "ghi", "glo", "ctl", "gid", "cidx")}
+        # stacked per-step maps are stored 2-D/1-D with the count and S
+        # dims MERGED ((count*S, Hb) / (count*S,)) and extracted with
+        # lax.dynamic_slice at (k*S, ...): a 3-D (count, S, Hb) parameter
+        # made the TPU compiler choose an S-minor layout whose (8,128)
+        # tiling cost a ~30x relayout temp per array (r5 OOM breakdown)
+        ent = {}
+        for f in ("hm", "om", "fb", "ghi", "glo", "ctl", "gid", "cidx"):
+            a = np.stack(m[f]).astype(
+                np.uint32 if f in ("ghi", "glo", "gid") else np.int32)
+            if a.ndim == 3:
+                a = a.reshape(a.shape[0] * a.shape[1], a.shape[2])
+            elif a.ndim == 2:
+                a = a.reshape(-1)
+            ent[f] = put(a)
         # content pools: rows ordered by first-seen index
         rows = sorted(contents[k].values())
         oo_pool = np.stack([oo.astype(np.int32) for _, _, oo in rows]) \
@@ -290,18 +301,27 @@ def mega_jit(hasher: str, batch: int | None, layout: tuple, chunk: int):
 
     def make_sig_branch(flat, seg_layout):
         ent = dict(flat)
+        S = ent["S"]
 
         def br(arena, digest, k, delta, *arrs):
-            g = lambda f: _arg(ent[f], arrs)  # noqa: E731
-            hm = g("hm")[k]
-            om = g("om")[k]
-            fb = g("fb")[k]
-            ghi = g("ghi")[k]
-            glo = g("glo")[k]
-            ctl = g("ctl")[k]
-            gid = g("gid")[k]
-            cid = g("cidx")[k]
-            oo = g("oo")[cid] if ent["n_out"] else \
+            def row2(f):
+                """(S, w) step row from the merged (count*S, w) param."""
+                a = _arg(ent[f], arrs)
+                return lax.dynamic_slice(a, (k * S, 0), (S, a.shape[1]))
+
+            def row1(f):
+                a = _arg(ent[f], arrs)
+                return lax.dynamic_slice(a, (k * S,), (S,))
+
+            hm = row2("hm")
+            om = row2("om")
+            fb = row1("fb")
+            ghi = row1("ghi")
+            glo = row1("glo")
+            ctl = row1("ctl")
+            gid = _arg(ent["gid"], arrs)[k]
+            cid = _arg(ent["cidx"], arrs)[k]
+            oo = _arg(ent["oo"], arrs)[cid] if ent["n_out"] else \
                 jnp.zeros((0,), jnp.int32)
             segs = []
             for seg_l in seg_layout:
@@ -318,7 +338,7 @@ def mega_jit(hasher: str, batch: int | None, layout: tuple, chunk: int):
             src = _arg(src_ent, arrs)[k]
             dst = _arg(dst_ent, arrs)[k]
             if wm:
-                return arena.at[:, :, dst].set(arena[:, :, src]), digest
+                return arena.at[:, dst].set(arena[:, src]), digest
             return arena.at[dst].set(arena[src]), digest
 
         return br
@@ -376,7 +396,7 @@ def _n_arrays(layout) -> int:
 # ----------------------------------------------------------------------
 
 # bump when the traced program semantics change (invalidates trace cache)
-_MEGA_CODE_VERSION = 2  # v2: per-branch argument arrays, no pools
+_MEGA_CODE_VERSION = 3  # v3: merged-count maps + flat 4B wm shapes
 _MEGA_CACHE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     ".mega_cache")
@@ -455,7 +475,7 @@ def _mega_stage_dev(ex, top_k: int, chunk: int):
     A = ex.arena_size
     if ex.hasher == "aes_wm":
         nb = B or 1
-        ash, vsh = (4, nb, A), (4, nb)
+        ash, vsh = (4 * nb, A), (4 * nb,)
     else:
         pre = (B,) if B else ()
         ash, vsh = pre + (A, 4), pre + (4,)
@@ -500,9 +520,9 @@ def preload_mega(ex, top_k: int = 40, chunk: int = 256,
     wm = ex.hasher == "aes_wm"
     nb = B or 1
     if wm:
-        arena = jnp.zeros((4, nb, A), jnp.uint32)
-        delta = jnp.zeros((4, nb), jnp.uint32)
-        digest = jnp.zeros((4, nb), jnp.uint32)
+        arena = jnp.zeros((4 * nb, A), jnp.uint32)
+        delta = jnp.zeros((4 * nb,), jnp.uint32)
+        digest = jnp.zeros((4 * nb,), jnp.uint32)
     else:
         arena = jnp.zeros((B, A, 4) if B else (A, 4), jnp.uint32)
         delta = jnp.zeros((B, 4) if B else (4,), jnp.uint32)
@@ -562,13 +582,14 @@ def mega_garble(ex, input_label0s, delta, false_label0, true_label0,
     arena = ex._build_arena(false_label0, true_label0, input_label0s)
     delta = ex._shard(np.asarray(delta, dtype=np.uint32))
     if wm:
-        # word-major: (B, A, 4) -> (4, B, A), one device transpose per pass
+        # word-major: (B, A, 4) -> (4B, A) [row j*B+b = word j of inst b],
+        # one device transpose per pass
         if not batched:
             arena = arena[None]
             delta = delta[None]
-        arena = jnp.transpose(arena, (2, 0, 1))
-        delta = jnp.transpose(delta, (1, 0))
-        digest = jnp.zeros((4, nb), np.uint32)
+        arena = jnp.transpose(arena, (2, 0, 1)).reshape(4 * nb, -1)
+        delta = jnp.transpose(delta, (1, 0)).reshape(4 * nb)
+        digest = jnp.zeros((4 * nb,), np.uint32)
         fnr = _generic_group_jit_wm(batched)
     else:
         digest = ex._shard(
@@ -632,8 +653,10 @@ def mega_garble(ex, input_label0s, delta, false_label0, true_label0,
           file=sys.stderr, flush=True)
     if wm:
         oabs = jnp.asarray(plan.output_abs)
-        out = np.asarray(jnp.transpose(arena[:, :, oabs], (1, 2, 0)))
-        dig = np.asarray(jnp.transpose(digest, (1, 0)))
+        n_out = len(plan.output_abs)
+        out = np.asarray(jnp.transpose(
+            arena[:, oabs].reshape(4, nb, n_out), (1, 2, 0)))
+        dig = np.asarray(jnp.transpose(digest.reshape(4, nb), (1, 0)))
         if not batched:
             out, dig = out[0], dig[0]
         return out, arena, dig

@@ -874,58 +874,67 @@ def _aes_blocks_wm(blocks_wm, min_blocks: int):
 
 
 def _gate_hash2_wm(sel_a, other_a, hi, lo, B: int, min_blocks: int):
-    """Hash both a-labels, word-major: inputs (4, n), tweaks per-lane
-    (n//B per instance, b-major) — mirrors _gate_hash2 exactly."""
+    """Hash both a-labels, word-major: inputs (4B, lanes) with row j*B+b =
+    word j of instance b; tweaks per lane — mirrors _gate_hash2 exactly."""
     from gsv_tpu.ops.tweaks import tweak_words_wm
 
-    tw = tweak_words_wm(hi, lo, xp=jnp)  # (4, n/B) per-site lanes
-    n = sel_a.shape[1]
-    lanes = n // B
-    twf = jnp.broadcast_to(tw[:, None, :], (4, B, lanes)).reshape(4, n)
-    blocks = jnp.concatenate([sel_a ^ twf, other_a ^ twf], axis=1)
+    tw = tweak_words_wm(hi, lo, xp=jnp)  # (4, lanes)
+    lanes = sel_a.shape[1]
+    sel4 = sel_a.reshape(4, B * lanes)  # free: row-major (4B, L) split
+    oth4 = other_a.reshape(4, B * lanes)
+    twf = jnp.broadcast_to(tw[:, None, :], (4, B, lanes)).reshape(4, -1)
+    blocks = jnp.concatenate([sel4 ^ twf, oth4 ^ twf], axis=1)
     m = blocks.shape[1]
     padn = (-m) % 32
     if padn:
         blocks = jnp.concatenate(
             [blocks, jnp.zeros((4, padn), jnp.uint32)], axis=1)
-        return _aes_blocks_wm(blocks, min_blocks)[:, :m]
-    return _aes_blocks_wm(blocks, min_blocks)
+        h = _aes_blocks_wm(blocks, min_blocks)[:, :m]
+    else:
+        h = _aes_blocks_wm(blocks, min_blocks)
+    BL = B * lanes
+    # split BEFORE flattening back to (4B, lanes): sel columns [0, BL) and
+    # other columns [BL, 2BL) are b-major within each word row
+    return (h[:, :BL].reshape(4 * B, lanes),
+            h[:, BL:].reshape(4 * B, lanes))
 
 
 def _digest_update_wm(digest, cts, group_id, B: int, min_blocks: int):
-    """XOR-fold commitment over word-major cts (4, B, rows+1): identical
+    """XOR-fold commitment over word-major cts (4B, rows+1): identical
     values to _digest_update (same per-row AES, associative XOR fold)."""
     from gsv_tpu.ops.tweaks import tweak_words_wm
 
-    rows = cts.shape[2] - 1
+    rows = cts.shape[1] - 1
     if rows == 0:
         return digest
     gids = jnp.full((rows,), group_id, jnp.uint32)
     idx = jnp.arange(rows, dtype=jnp.uint32)
     tw = tweak_words_wm(gids, idx, xp=jnp)  # (4, rows)
-    body = cts[:, :, :rows] ^ tw[:, None, :]
+    body = cts[:, :rows].reshape(4, B, rows) ^ tw[:, None, :]
     blocks = body.reshape(4, B * rows)
     padn = (-(B * rows)) % 32
     if padn:
         blocks = jnp.concatenate(
             [blocks, jnp.zeros((4, padn), jnp.uint32)], axis=1)
-    h = _aes_blocks_wm(blocks, min_blocks)[:, : B * rows].reshape(4, B, rows)
-    fold = jax.lax.reduce(h, jnp.uint32(0), jax.lax.bitwise_xor,
-                          dimensions=(2,))
+    h = _aes_blocks_wm(blocks, min_blocks)[:, : B * rows]
+    fold = jax.lax.reduce(h.reshape(4 * B, rows), jnp.uint32(0),
+                          jax.lax.bitwise_xor, dimensions=(1,))
     return digest ^ fold
 
 
 def _garble_group_segs_wm(arena, cts, header_maps, frame_bases, delta,
                           gid_hi, gid_lo, ct_loc, segs, B: int,
                           min_blocks: int, lane_budget=None):
-    """Half-gates garbling over S sites, word-major arena (4, B, A).
+    """Half-gates garbling over S sites, word-major arena (4B, A).
 
-    Mirrors _garble_group_segs_into wave for wave; see that docstring for
-    the ciphertext-buffer layout (here (4, B, S*ctb+1))."""
+    Row j*B+b holds word j of instance b — a single 128-row leading dim at
+    B=32, which tiles perfectly (a (4, B, A) form made XLA pad the 32-dim
+    to 128 lanes: 3.7x HBM, r5).  Mirrors _garble_group_segs_into wave for
+    wave; the ciphertext buffer is (4B, S*ctb+1)."""
     H = header_maps.shape[1]
     S = header_maps.shape[0]
-    trash_row = cts.shape[2] - 1
-    d1 = delta[:, :, None, None]  # (4, B, 1, 1)
+    trash_row = cts.shape[1] - 1
+    d1 = delta[:, None, None]  # (4B, 1, 1)
     for sv in segs:
         fa, fb, fc = sv["f_a"], sv["f_b"], sv["f_c"]
         fbm = _m32(sv["f_bmask"])
@@ -945,12 +954,12 @@ def _garble_group_segs_wm(arena, cts, header_maps, frame_bases, delta,
             if cf:
                 ia = _abs_idx_g(_row(fa, i), header_maps, frame_bases, H)
                 ib = _abs_idx_g(_row(fb, i), header_maps, frame_bases, H)
-                a = arena[:, :, ia]  # (4, B, S, cf)
-                b = arena[:, :, ib]
-                mb = _row(fbm, i).reshape(1, 1, 1, -1)
-                mf = _row(ffl, i).reshape(1, 1, 1, -1)
+                a = arena[:, ia]  # (4B, S, cf)
+                b = arena[:, ib]
+                mb = _row(fbm, i).reshape(1, 1, -1)
+                mf = _row(ffl, i).reshape(1, 1, -1)
                 out = a ^ (b & mb) ^ (d1 & mf)
-                arena = arena.at[:, :, _dst_idx_g(_row(fc, i), frame_bases)
+                arena = arena.at[:, _dst_idx_g(_row(fc, i), frame_bases)
                                  ].set(out)
             if cn:
                 k = _chunk_factor(S, cn, lane_budget)
@@ -959,30 +968,30 @@ def _garble_group_segs_wm(arena, cts, header_maps, frame_bases, delta,
                             arena, cts, C=cn // k):
                     ia = _abs_idx_g(na_r, header_maps, frame_bases, H)
                     ib = _abs_idx_g(nb_r, header_maps, frame_bases, H)
-                    a0 = arena[:, :, ia]  # (4, B, S, C)
-                    b0 = arena[:, :, ib]
-                    maa = aa_r.reshape(1, 1, 1, -1)
-                    mab = ab_r.reshape(1, 1, 1, -1)
-                    mac = ac_r.reshape(1, 1, 1, -1)
+                    a0 = arena[:, ia]  # (4B, S, C)
+                    b0 = arena[:, ib]
+                    maa = aa_r.reshape(1, 1, -1)
+                    mab = ab_r.reshape(1, 1, -1)
+                    mac = ac_r.reshape(1, 1, -1)
                     sel_a = a0 ^ (d1 & maa)
                     other_a = sel_a ^ d1
                     hi, lo = _gid64_g(gid_hi, gid_lo, gid_r)
-                    h = _gate_hash2_wm(
-                        sel_a.reshape(4, B * S * C),
-                        other_a.reshape(4, B * S * C),
+                    h_sel, h_other = _gate_hash2_wm(
+                        sel_a.reshape(4 * B, S * C),
+                        other_a.reshape(4 * B, S * C),
                         hi.reshape(-1), lo.reshape(-1), B, min_blocks,
                     )
-                    h_sel = h[:, : B * S * C].reshape(4, B, S, C)
-                    h_other = h[:, B * S * C:].reshape(4, B, S, C)
+                    h_sel = h_sel.reshape(4 * B, S, C)
+                    h_other = h_other.reshape(4 * B, S, C)
                     b_sel = b0 ^ (d1 & mab)
                     ct = h_sel ^ h_other ^ b_sel
                     w0 = h_sel ^ (d1 & mac)
-                    arena = arena.at[:, :, _dst_idx_g(nc_r, frame_bases)
+                    arena = arena.at[:, _dst_idx_g(nc_r, frame_bases)
                                      ].set(w0)
                     nr = ct_r[None, :]
                     idx = jnp.where(nr < 0, trash_row, ct_loc[:, None] + nr)
                     idx = jnp.minimum(idx, trash_row)
-                    cts = cts.at[:, :, idx].set(ct)
+                    cts = cts.at[:, idx].set(ct)
                     return arena, cts
 
                 if k == 1:
@@ -1024,7 +1033,7 @@ def _scatter_outputs_g_wm(arena, header_maps, frame_bases, outputs_maps,
     if out_ops.shape[0] == 0:
         return arena
     src = _abs_idx_g(out_ops, header_maps, frame_bases, header_maps.shape[1])
-    return arena.at[:, :, outputs_maps].set(arena[:, :, src])
+    return arena.at[:, outputs_maps].set(arena[:, src])
 
 
 def _digest_update(digest, cts, group_id, hasher="aes"):
@@ -1215,19 +1224,21 @@ def _packed_group_jit(mode: str, hasher: str, batch: int | None, commit: bool,
 def _group_step_fn_wm(batch: int | None, commit: bool = True):
     """Word-major garble-nocts group step (see _garble_group_segs_wm).
 
-    Takes/returns the arena as (4, B, A) with batch explicit (no vmap);
-    call signature otherwise mirrors the garble step: (arena, ct_token,
-    header_maps, outputs_maps, out_ops, frame_bases, delta(4,B), gid_hi,
-    gid_lo, ct_loc, digest(4,B), group_id, segs)."""
+    Takes/returns the arena as (4B, A) with batch folded into the 128-row
+    leading dim (no vmap); call signature otherwise mirrors the garble
+    step: (arena, ct_token, header_maps, outputs_maps, out_ops,
+    frame_bases, delta(4B,), gid_hi, gid_lo, ct_loc, digest(4B,),
+    group_id, segs)."""
     B = batch or 1
-    lane_budget = max(1, _LANE_BUDGET // B)
+    lane_budget = max(
+        1, int(os.environ.get("GSV_LANE_BUDGET_WM", _LANE_BUDGET)) // B)
     min_blocks = _PALLAS_MIN_BLOCKS
 
     def step(arena, ct_token, header_maps, outputs_maps, out_ops,
              frame_bases, delta, gid_hi, gid_lo, ct_loc, digest,
              group_id, segs):
         tr = ct_token.shape[0]
-        cts = jnp.zeros((4, B, tr), jnp.uint32)
+        cts = jnp.zeros((4 * B, tr), jnp.uint32)
         arena, cts = _garble_group_segs_wm(
             arena, cts, header_maps, frame_bases, delta, gid_hi, gid_lo,
             ct_loc, segs, B, min_blocks, lane_budget=lane_budget)

@@ -21,10 +21,13 @@ CMP=.gplan_k6_compressed_uniform_1048576.pkl
 [ -f "$UNI" ] || GSV_SEG_V2=1 python scripts/build_gplan.py 6 1048576 "$UNI"
 [ -f "$CMP" ] || GSV_SEG_V2=1 python scripts/build_gplan.py 6 1048576 "$CMP" --compressed
 
-echo "== [4/5] warm fill: mega program + residuals (headline bench path)"
+echo "== [4/5] warm fill: wm mega program + residuals (headline bench path)"
 # warm-execution through the REAL dispatch path — the only fill that hits
-# the runtime persistent-cache key (docs/perf-model.md, r4)
-python scripts/warm_fill.py 32 "$V3" mega
+# the runtime persistent-cache key (docs/perf-model.md, r4).  aes_wm +
+# top_k=24 is the headline config (r5: word-major arena, largest branch
+# count the remote compile helper survives).
+GSV_HASHER=aes_wm GSV_MEGA_TOPK=24 GSV_MEGA_EXPORT=0 \
+  python scripts/warm_fill.py 32 "$V3" mega
 
 echo "== [5/5] commit any fresh cache entries"
 git add -f .jit_cache && git commit -m "Warm cache: round-start fill" || true

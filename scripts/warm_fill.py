@@ -54,7 +54,7 @@ def main() -> None:
 
         dt = preload_mega(
             ex,
-            top_k=int(os.environ.get("GSV_MEGA_TOPK", "40")),
+            top_k=int(os.environ.get("GSV_MEGA_TOPK", "24")),
             chunk=int(os.environ.get("GSV_MEGA_CHUNK", "256")),
         )
         modes = tuple(m for m in modes if m != "mega")
