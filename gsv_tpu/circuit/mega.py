@@ -50,6 +50,57 @@ from gsv_tpu.circuit.schedule import GroupStep
 _MEGA_JITS: dict = {}
 
 
+def group_dev_s1pad(ex, g, gi: int):
+    """Device maps for an S=1 group, padded to S=2 for the standalone wm
+    program.
+
+    The standalone wm group program deterministically crashes the TPU
+    runtime on S=1 shapes (r5: scripts/repro_s1_crash.py — gi 5579/517/569
+    all die, the XLA-hash variant too, so it is an XLA fault, not Mosaic;
+    S>=2 shapes and the mega program's chunk-0 execution are fine).  The
+    workaround dispatches S=1 groups as S=2 with one scheduler-convention
+    dead site: TRASH header/output rows (schedule.py pads real groups the
+    same way), gid base 0, its own dead scratch frame, and — key to
+    bit-exactness — the SAME S=1 ciphertext token, so every pad-site ct
+    write clamps onto the existing trash row and the digest fold is
+    bit-identical to the S=1 program's."""
+    key = ("gmaps_s1pad", id(g))
+    dev = ex._dev.get(key)
+    if dev is not None:
+        return dev
+    from gsv_tpu.circuit.runtime import _TRASH
+
+    if ex.packed:
+        meta = ex._seg_dev_packed(g.tape)[4]
+    else:
+        _, _, meta = ex._seg_dev(g.tape)
+    hm, om, fb, ghi, glo, ct_loc, trash_row = ex._group_maps_np(g, meta)
+    fs = g.tape.frame_size
+    pad_fb = int(fb[0]) + fs
+    # the scratch region is sized max(S*frame_size) over groups, so a
+    # second frame always fits for the (small) S=1 stragglers
+    assert pad_fb + fs <= ex.plan.arena_size, (pad_fb, fs, ex.plan.arena_size)
+    dev = (
+        h2d(np.concatenate([hm, np.full((1, hm.shape[1]), _TRASH, hm.dtype)])),
+        h2d(np.concatenate([om, np.full((1, om.shape[1]), _TRASH, om.dtype)])),
+        jnp.asarray(np.array([int(fb[0]), pad_fb], fb.dtype)),
+        jnp.asarray(np.array([int(ghi[0]), 0], np.uint32)),
+        jnp.asarray(np.array([int(glo[0]), 0], np.uint32)),
+        jnp.asarray(np.array([int(ct_loc[0]), trash_row], np.int32)),
+        ex._token(trash_row),
+        jnp.uint32(gi),
+    )
+    ex._dev[key] = dev
+    return dev
+
+
+def _wm_group_dev(ex, g, gi: int):
+    """ex._group_dev, with the S=1 -> S=2 pad for the standalone wm path."""
+    if g.header_maps.shape[0] == 1:
+        return group_dev_s1pad(ex, g, gi)
+    return ex._group_dev(g, gi)
+
+
 def _wm_copy():
     """Jitted copy step on the word-major (4, B, A) arena."""
     fn = _MEGA_JITS.get("wmcopy")
@@ -550,8 +601,8 @@ def preload_mega(ex, top_k: int = 40, chunk: int = 256,
                     continue
                 seen.add(k)
                 segs, oo, meta = ex._seg_dev(g.tape)
-                hm, om, fb, ghi, glo, ct_loc, token, gid = ex._group_dev(
-                    g, gi)
+                hm, om, fb, ghi, glo, ct_loc, token, gid = _wm_group_dev(
+                    ex, g, gi)
                 arena, digest = fnr(arena, token, hm, om, oo, fb, delta,
                                     ghi, glo, ct_loc, digest, gid, segs)
                 if len(seen) % 8 == 0:
@@ -618,8 +669,8 @@ def mega_garble(ex, input_label0s, delta, false_label0, true_label0,
             if isinstance(g, GroupStep):
                 if wm:
                     segs, oo, meta = ex._seg_dev(g.tape)
-                    hm, om, fb, ghi, glo, ct_loc, token, gid = ex._group_dev(
-                        g, idx)
+                    hm, om, fb, ghi, glo, ct_loc, token, gid = _wm_group_dev(
+                        ex, g, idx)
                     arena, digest = fnr(arena, token, hm, om, oo, fb, delta,
                                         ghi, glo, ct_loc, digest, gid, segs)
                 else:

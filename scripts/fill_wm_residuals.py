@@ -28,7 +28,7 @@ def main() -> None:
 
     jax.devices()
 
-    from gsv_tpu.circuit.mega import build_mega
+    from gsv_tpu.circuit.mega import _wm_group_dev, build_mega
     from gsv_tpu.circuit.runtime import (
         GroupExecutor,
         _generic_group_jit_wm,
@@ -72,7 +72,7 @@ def main() -> None:
             continue
         seen.add(k)
         segs, oo, meta = ex._seg_dev(g.tape)
-        hm, om, fb, ghi, glo, ct_loc, token, gid = ex._group_dev(g, gi)
+        hm, om, fb, ghi, glo, ct_loc, token, gid = _wm_group_dev(ex, g, gi)
         arena, digest = fnr(arena, token, hm, om, oo, fb, delta,
                             ghi, glo, ct_loc, digest, gid, segs)
         np.asarray(digest)  # honest: compiled + executed before the next
