@@ -16,7 +16,9 @@ git add -f .jit_cache .mega_cache 2>/dev/null
 git commit -q -m "Warm cache: wm mega top_k=$K fill" || true
 
 echo "== honest full bench (wm mega)"
-touch .bench_full_ready_wm_v3
+# BOTH sentinels: _wm_v3 selects the v3 plan + aes_wm hasher; _wm gates
+# want_full (r5: missing the second one silently fell back to fq12)
+touch .bench_full_ready_wm_v3 .bench_full_ready_wm
 GSV_MEGA_EXPORT=0 GSV_MEGA_TOPK=$K GSV_BENCH_DEADLINE=7200 \
   python bench.py $B
 

@@ -25,12 +25,12 @@ echo "== [4/5] warm fill: wm mega program + residuals (headline bench path)"
 # warm-execution through the REAL dispatch path — the only fill that hits
 # the runtime persistent-cache key (docs/perf-model.md, r4).  aes_wm +
 # top_k=24 is the headline config (r5: word-major arena, largest branch
-# count the remote compile helper survives).  Cold residual compiles can
-# overlap ~2.7x across shard processes, BUT 3 shards + the mega process
-# (full constant preload) oversubscribe HBM and crash the TPU worker
-# (r5: shards 1/2 died UNAVAILABLE/INTERNAL at ~5-7 min) — run ONE shard
-# alongside the mega fill, then mop up the rest sequentially (warm
-# entries reload in seconds, so reruns only pay for the cold tail).
+# count the remote compile helper survives).  Cold residual compiles
+# overlap ~2.7x across shard processes.  NB the r5 fill crashes were NOT
+# concurrency/HBM: every crash was the S=1 standalone-program XLA fault
+# (fixed — mega.group_dev_s1pad) or collateral from a sibling's crash
+# (a worker crash kills/hangs every process's in-flight work).  Reruns
+# are cheap (warm entries reload in seconds), so mop up after any crash.
 python scripts/fill_wm_residuals.py 32 "$V3" 24 0 3 \
   > /tmp/fill_shard0.log 2>&1 &
 GSV_HASHER=aes_wm GSV_MEGA_TOPK=24 GSV_MEGA_EXPORT=0 \
