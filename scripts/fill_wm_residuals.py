@@ -56,6 +56,8 @@ def main() -> None:
     print(f"{len(excluded)} excluded sigs; shard {shard}/{nshards} takes "
           f"{len(mine)}", flush=True)
 
+    skip_gi = {int(x) for x in
+               os.environ.get("GSV_FILL_SKIP_GI", "").split(",") if x}
     nb = B or 1
     A = ex.arena_size
     arena = jnp.zeros((4 * nb, A), jnp.uint32)
@@ -69,6 +71,10 @@ def main() -> None:
             continue
         k = (tape_signature(g.tape), g.header_maps.shape[0])
         if k not in mine or k in seen:
+            continue
+        if gi in skip_gi:  # a crasher under investigation — leave it cold
+            print(f"[shard {shard}] skipping gi={gi}", flush=True)
+            seen.add(k)
             continue
         seen.add(k)
         segs, oo, meta = ex._seg_dev(g.tape)
